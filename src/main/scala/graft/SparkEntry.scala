@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.QueryCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The real catalog lives in [[graft.queries.QueryCatalog]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001: the full ETL spine
+    * (clean → chunk → dedup → embed → vector top-k). Driver
+    * smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    QueryCatalog.qPipelineE2E(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryCatalog.queries
+
+  /** DuckDB-equivalent SQL for every SQL-expressible query; the
+    * remainder (hash-seeded MinHash/SimHash, KMeans IVF, the recursive
+    * chunker, the end-to-end pipeline) get rows-only checks and are
+    * covered by ScalaTest instead.
+    */
+  def oracleSql: Map[String, String] =
+    QueryCatalog.oracleSql
 }

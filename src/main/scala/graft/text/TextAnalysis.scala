@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column expressions (codegen'd, shuffle-free), designed to run in the
+  * scan stage at 100 TB.
+  */
+object TextAnalysis {
+
+  private def countMatching(c: Column, regex: String): Column =
+    length(c) - length(regexp_replace(c, regex, ""))
+
+  /** Whitespace token count. */
+  def tokenCountWhitespace(c: Column): Column =
+    when(length(trim(c)) === 0, 0).otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword count estimate: word pieces + digit runs +
+    * punctuation, approximating a byte-pair tokenizer's granularity
+    * with a regex segmentation (letters runs count ~1 token per 4 chars
+    * like the reference's heuristic C16 does for non-Hangul).
+    */
+  def tokenCountBpeish(c: Column): Column = {
+    val pieces = size(filter(split(c, "(?U)(?<=\\W)|(?=\\W)"), p => length(trim(p)) > 0))
+    val longWordExtra = aggregate(
+      filter(split(c, "(?U)\\W+"), w => length(w) > 4),
+      lit(0L),
+      (acc, w) => acc + (length(w) - 1).cast("long") / 4
+    )
+    (pieces.cast("long") + longWordExtra).cast("int")
+  }
+
+  /** Quality scoring heuristics: length, punctuation ratio, stopword
+    * ratio, mean word length, alpha ratio. Returns a struct column.
+    */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this"
+  )
+
+  def qualityFeatures(c: Column): Column = {
+    val txt = coalesce(c, lit(""))
+    val nChars = length(txt)
+    val toks = filter(split(lower(txt), "\\s+"), t => length(t) > 0)
+    val nToks = size(toks)
+    val stop = size(filter(toks, t => t.isInCollection(EnglishStopwords)))
+    val punct = countMatching(txt, "[.,;:!?]")
+    val alpha = countMatching(txt, "(?U)[\\p{L}]")
+    struct(
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      when(nToks === 0, 0.0).otherwise(round(stop.cast("double") / nToks, 6)).as("stopword_ratio"),
+      when(nChars === 0, 0.0).otherwise(round(punct.cast("double") / nChars, 6)).as("punct_ratio"),
+      when(nChars === 0, 0.0).otherwise(round(alpha.cast("double") / nChars, 6)).as("alpha_ratio"),
+      when(nToks === 0, 0.0)
+        .otherwise(round((nChars - nToks + 1).cast("double") / nToks, 6))
+        .as("avg_word_len")
+    )
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence
+    * (fluent prose), sane word length, alpha density; penalizes
+    * extremes. Computed from RAW ratios (not the 6-dp-rounded feature
+    * fields) so the average never lands on a decimal rounding boundary;
+    * only the final value is rounded.
+    */
+  def qualityScore(c: Column): Column = {
+    val txt = coalesce(c, lit(""))
+    val nChars = length(txt)
+    val toks = filter(split(lower(txt), "\\s+"), t => length(t) > 0)
+    val nToks = size(toks)
+    val stopRatio = when(nToks === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.isInCollection(EnglishStopwords))).cast("double") / nToks)
+    val alphaRatio = when(nChars === 0, 0.0)
+      .otherwise(countMatching(txt, "(?U)[\\p{L}]").cast("double") / nChars)
+    val avgWordLen = when(nToks === 0, 0.0)
+      .otherwise((nChars - nToks + 1).cast("double") / nToks)
+    val lenScore = least(nToks.cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    val wlScore = when(avgWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lenScore + stopScore + alphaRatio + wlScore) / 4.0, 4)
+  }
+
+  /** Language ID via character n-gram profile heuristics — the
+    * script-ratio approach of the reference (C14/C15) generalized with
+    * common-word evidence for Latin-script languages.
+    */
+  def languageIdNgram(c: Column): Column = {
+    val txt = lower(coalesce(c, lit("")))
+    val total = greatest(length(txt), lit(1)).cast("double")
+    val hangul = countMatching(txt, "[가-힣]").cast("double") / total
+    val cjk = countMatching(txt, "[\\u4E00-\\u9FFF]").cast("double") / total
+    val kana = countMatching(txt, "[\\u3040-\\u30FF]").cast("double") / total
+    val cyr = countMatching(txt, "[\\u0400-\\u04FF]").cast("double") / total
+    val viet = countMatching(txt, "[ăâđêôơưàáảãạèéẻẽẹìíỉĩịòóỏõọùúủũụỳýỷỹỵ]").cast("double") / total
+    val toks = filter(split(txt, "\\s+"), t => length(t) > 0)
+    def hasAny(words: Seq[String]) =
+      size(filter(toks, t => t.isInCollection(words))).cast("double") / greatest(size(toks), lit(1))
+    val en = hasAny(Seq("the", "and", "of", "to", "is", "in", "that", "it"))
+    val de = hasAny(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"))
+    val fr = hasAny(Seq("le", "la", "les", "et", "est", "une", "que", "des"))
+    val es = hasAny(Seq("el", "los", "las", "es", "una", "que", "por", "con"))
+    when(hangul > 0.1, "ko")
+      .when(kana > 0.05, "ja")
+      .when(cjk > 0.1, "zh")
+      .when(cyr > 0.1, "ru")
+      .when(viet > 0.02, "vi")
+      .when(de > en && de > fr && de > es && de > 0, "de")
+      .when(fr > en && fr > es && fr > 0, "fr")
+      .when(es > en && es > 0, "es")
+      .when(en > 0, "en")
+      .otherwise("und")
+  }
+
+  /** Document fingerprint: md5 of the normalized text (stable content
+    * address), plus a 64-bit rolling-hash-style fingerprint via
+    * xxhash64 for cheap joins.
+    */
+  def fingerprintMd5(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  def fingerprint64(c: Column): Column =
+    xxhash64(trim(regexp_replace(lower(c), "\\s+", " ")))
+}

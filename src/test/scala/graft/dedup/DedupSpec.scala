@@ -1,0 +1,76 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+
+  test("exact dedup normalizes case + whitespace, keeps first (K5)") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", 0, "Hello  World"),
+      ("s1", 1, "hello world\n"),
+      ("s2", 0, "unique text")
+    ).toDF("source", "pos", "text")
+    val out = Dedup.exactDedup(df, "text", Seq("source", "pos"))
+      .orderBy("source", "pos")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getString(2) == "Hello  World") // first occurrence wins
+    assert(out(1).getString(2) == "unique text")
+  }
+
+  test("dedup is idempotent") {
+    import spark.implicits._
+    val df = Seq(("a", 0, "x y"), ("b", 1, "X  Y"), ("c", 2, "z")).toDF("source", "pos", "text")
+    val once = Dedup.exactDedup(df, "text", Seq("source", "pos"))
+    val twice = Dedup.exactDedup(once, "text", Seq("source", "pos"))
+    assert(once.count() == twice.count())
+  }
+
+  test("minhash LSH finds near-identical docs and estimates jaccard") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"token$i").mkString(" ") + " tokenX tokenY"
+    val other = (100 to 160).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.minHashLshPairs(df, "id", "text", jaccardThreshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) > 0.5)
+  }
+
+  test("simhash: identical docs at distance 0, near dups close, distinct far") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = a.replace("today", "tomorrow")
+    val c = "completely different content about spark query planning internals"
+    val df = Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("id", "text")
+    val sigs = df.select(col("id"), Dedup.simHash(col("text")).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) < java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)))
+  }
+
+  test("ngram jaccard pairs agree with LSH candidates above threshold") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dup = (1 to 40).map(i => s"w$i").mkString(" ") // exact token set
+    val df = Seq((1L, "en", base), (2L, "en", dup), (3L, "de", base))
+      .toDF("id", "lang", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "text", "lang", 0.9).collect()
+    // only the same-language pair qualifies (blocking)
+    assert(pairs.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getDouble(3) == 1.0)
+  }
+
+  test("embedding near-dup finds same-direction vectors") {
+    import spark.implicits._
+    val v = Array.fill(8)(0.5f)
+    val v2 = v.map(x => x * 0.999f) // same direction
+    val w = Array(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)
+    val df = Seq((1L, v.toSeq), (2L, v2.toSeq), (3L, w.toSeq)).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDupPairs(df, "id", "vec", 0.99, signBits = 4).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.search
+
+import graft.SparkTestBase
+import graft.model.IndexConfig
+import org.apache.spark.sql.functions._
+
+class VectorSearchSpec extends SparkTestBase {
+
+  private def embeddings = spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+  test("topK returns k rows ordered by descending cosine; plan is TakeOrdered") {
+    val q = embeddings.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val out = VectorSearch.topK(embeddings, q, 10)
+    val rows = out.collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq)
+    assert(scores.head > 0.999) // self-match first
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
+  test("pre-k predicate filters before the limit (Q2 semantics)") {
+    val q = embeddings.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val out = VectorSearch.topK(embeddings, q, 5, predicate = Some(col("label") === 2)).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getAs[Int]("label") == 2))
+  }
+
+  test("multi-collection fan-out returns global top-k with collection tag (Q4)") {
+    val q = embeddings.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val colls = Seq(
+      "even" -> embeddings.filter(col("vec_id") % 2 === 0),
+      "odd" -> embeddings.filter(col("vec_id") % 2 === 1)
+    )
+    val out = VectorSearch.multiCollectionTopK(colls, q, 5).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[String]("collection")).toSet.subsetOf(Set("even", "odd")))
+    val global = VectorSearch.topK(embeddings, q, 5).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == global)
+  }
+
+  test("knnJoin matches brute-force per-query top-k") {
+    val queries = embeddings.filter(col("vec_id") < 3)
+    val out = VectorSearch.knnJoin(queries, embeddings, "vec_id", "vec_id", 4).collect()
+    assert(out.length == 12)
+    // each query's rank-1 neighbor is itself (cosine 1.0)
+    out.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id"))
+    }
+  }
+
+  test("IVF search: recall@10 >= 0.7 vs exact (nprobe=4/nlist=16)") {
+    val cfg = IndexConfig(nlist = 16, nprobe = 4)
+    val (labeled, centroids) = IvfIndex.build(embeddings, "embedding", cfg)
+    val q = embeddings.filter(col("vec_id") === 7).head().getSeq[Float](1).toArray
+    val exact = VectorSearch.topK(embeddings, q, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val ivf = IvfIndex.searchTopK(labeled.cache(), centroids, q, 10, cfg)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall exact=$exact ivf=$ivf")
+  }
+
+  test("attribute query (Q3): filter + project + limit") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = VectorSearch.attributeQuery(docs, col("source") === "src1", Seq("doc_id", "lang"), 5)
+    assert(out.columns.toSeq == Seq("doc_id", "lang"))
+    assert(out.count() <= 5)
+  }
+}
