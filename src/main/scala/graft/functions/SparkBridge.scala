@@ -1,0 +1,13 @@
+/* Bridge into Spark 4's private[sql] Column↔Expression converters —
+ * the standard extension-library escape hatch (Spark 4 removed the
+ * public Column(expr) constructor; sql.classic.ExpressionUtils is the
+ * blessed internal path used by Spark's own connectors).
+ */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

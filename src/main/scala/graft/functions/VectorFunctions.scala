@@ -13,8 +13,18 @@ object VectorFunctions {
 
   private def asDouble(a: Column): Column = a.cast("array<double>")
 
-  /** Dot product: sum(a[i] * b[i]) left-to-right. */
+  /** Dot product: sum(a[i] * b[i]) left-to-right — the codegen'd
+    * [[DotProduct]] Expression (float→double promotion is exact, so
+    * results are bit-identical to the higher-order-function
+    * formulation kept below for cross-checking).
+    */
   def dotProduct(a: Column, b: Column): Column =
+    VectorExpressions.dotFast(a, b)
+
+  /** Reference HOF formulation of the dot product (slower; used by
+    * tests to pin the fast path's semantics).
+    */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0),

@@ -347,9 +347,13 @@ object QueryCatalog {
         QUALIFY row_number() OVER (PARTITION BY content_hash ORDER BY doc_id, chunk_index) = 1
         ORDER BY doc_id, chunk_index"""
 
-  /** N-gram (token-set) Jaccard near-dup pairs, blocked by language. */
+  /** N-gram (token-set) Jaccard near-dup pairs, blocked by language.
+    * Uses the bitmap set-similarity join — this corpus is dense
+    * (small vocab, high overlap), the regime where popcount Jaccard
+    * wins; ngramJaccardPairs (inverted index) covers open vocabs.
+    */
   val qNgramJaccard: Q = (s, dir) => {
-    val pairs = Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", "lang", 0.9)
+    val pairs = Dedup.jaccardBitmapPairs(tbl(s, dir, "documents"), "doc_id", "text", "lang", 0.9)
     pairs
       .select(col("block"), col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("block", "id_a", "id_b")

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkTestBase {
+
+  test("codegen dot product matches HOF formulation bit-for-bit on real vectors") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(200)
+    val q = e.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val both = e.select(
+      VectorFunctions.dotProduct(col("embedding"), typedLit(q)).as("fast"),
+      VectorFunctions.dotProductHof(col("embedding"), typedLit(q)).as("hof")
+    )
+    val rows = both.collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"fast=${r.getDouble(0)} hof=${r.getDouble(1)}"))
+  }
+
+  test("dot product known values, null propagation, cosine bounds") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),
+      (Seq(1f, 0f), Seq(0f, 1f))
+    ).toDF("a", "b")
+    val got = df.select(VectorFunctions.dotProduct(col("a"), col("b")).as("d")).as[Double].collect()
+    assert(got.toSeq == Seq(32.0, 0.0))
+
+    val withNull = df.select(
+      VectorFunctions.dotProduct(lit(null).cast("array<float>"), col("b")).as("d")
+    )
+    assert(withNull.collect().forall(_.isNullAt(0)))
+
+    val cos = df.select(VectorFunctions.cosineSimilarity(col("a"), col("a")).as("c")).as[Double].collect()
+    cos.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("normalize produces unit vectors; zero vector unchanged") {
+    import spark.implicits._
+    val df = Seq(Seq(3f, 4f), Seq(0f, 0f)).toDF("a")
+    val out = df.select(VectorFunctions.l2Norm(VectorFunctions.normalize(col("a"))).as("n")).as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(out(1) == 0.0)
+  }
+}
