@@ -21,22 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object Chunker {
 
-  /** Pure per-document chunk function: split oversize → merge small.
-    * K1 semantic stage is pass-through in character_only mode.
+  /** Pure per-document chunk function: (optional semantic stage K1) →
+    * split oversize (K2) → merge small (K3). Semantic stage runs when
+    * cfg.chunkingMode == "semantic_first" AND a splitter is supplied,
+    * mirroring the reference's availability fallback
+    * (chunker.py:59-62, 137-141).
     */
-  def chunkText(text: String, cfg: ChunkerConfig): Seq[String] = {
+  def chunkText(
+      text: String,
+      cfg: ChunkerConfig,
+      semantic: Option[SemanticSplitter] = None
+  ): Seq[String] = {
     if (text == null || text.isEmpty) return Seq.empty
     val splitter = new RecursiveSplitter(cfg)
-    val semantic = Seq(text) // character_only: no semantic pass
-    val optimized = semantic.flatMap { c =>
+    val semanticChunks = semantic match {
+      case Some(s) if cfg.chunkingMode == "semantic_first" =>
+        try s.split(text)
+        catch { case _: Throwable => Seq(text) } // reference fallback on error
+      case _ => Seq(text)
+    }
+    val optimized = semanticChunks.flatMap { c =>
       if (c.length > cfg.maxChunkSize) splitter.split(c) else Seq(c)
     }
     ChunkMerger.merge(optimized, cfg.minChunkSize, cfg.maxChunkSize)
   }
 
   /** Column: text → array<string> of final chunks. */
-  def chunksArray(cfg: ChunkerConfig): Column => Column = {
-    val f = udf { (s: String) => chunkText(s, cfg) }
+  def chunksArray(cfg: ChunkerConfig, semantic: Option[SemanticSplitter] = None): Column => Column = {
+    val f = udf { (s: String) => chunkText(s, cfg, semantic) }
     c => f(c)
   }
 
@@ -49,9 +61,10 @@ object Chunker {
       df: DataFrame,
       textCol: String,
       sourceCol: String,
-      cfg: ChunkerConfig = ChunkerConfig.default
+      cfg: ChunkerConfig = ChunkerConfig.default,
+      semantic: Option[SemanticSplitter] = None
   ): DataFrame = {
-    val withArr = df.withColumn("__chunks", chunksArray(cfg)(col(textCol)))
+    val withArr = df.withColumn("__chunks", chunksArray(cfg, semantic)(col(textCol)))
     val exploded = withArr
       .withColumn("total_chunks", size(col("__chunks")))
       .select(

@@ -313,6 +313,25 @@ object QueryCatalog {
       .select("doc_id", "source", "chunk_index", "total_chunks", "text", "chunk_size_chars", "chunk_size_tokens", "chunk_id")
       .orderBy("doc_id", "chunk_index")
 
+  /** K1 semantic-first hybrid chunking (sentence embeddings +
+    * percentile-70 breakpoints, then K2/K3 size optimization).
+    * Algorithm owned per SURVEY.md §7.5 item 2; rows-only check,
+    * pinned by SemanticSplitterSpec.
+    */
+  val qChunkSemantic: Q = (s, dir) => {
+    val semantic = new graft.chunk.SemanticSplitter(new HashEmbedder(dim = 64))
+    Chunker
+      .explodeChunks(
+        tbl(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        "text",
+        "source",
+        ChunkerConfig.default.copy(chunkingMode = "semantic_first"),
+        Some(semantic)
+      )
+      .select("doc_id", "chunk_index", "total_chunks", "text", "chunk_id")
+      .orderBy("doc_id", "chunk_index")
+  }
+
   // ---------------------------------------------------------------
   // Dedup family (K5 + training-data near-dup ops)
   // ---------------------------------------------------------------
@@ -746,6 +765,7 @@ object QueryCatalog {
     "q_chunk_fixed" -> qChunkFixed,
     "q_chunk_meta" -> qChunkMeta,
     "q_chunk_recursive" -> qChunkRecursive,
+    "q_chunk_semantic" -> qChunkSemantic,
     "q_dedup_exact" -> qDedupExact,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_lsh" -> qMinHashLsh,

@@ -1,0 +1,89 @@
+package graft.search
+
+import graft.embed.Embedder
+import graft.lang.LanguageDetect
+import graft.model.SearchConfig
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Search façade (reference search_utils.py:36-98, SURVEY.md §2.6
+  * Q5-Q8): query-language auto-detection → metadata filter → top-k,
+  * plus RAG prompt assembly (Q7) and the retrieval QA battery (Q8).
+  */
+object SearchFacade {
+
+  /** Q6 — language-aware search: detect the QUERY's language (C15
+    * thresholds, NOT the loader variant) unless an explicit filter is
+    * given, filter pre-k, embed the query, exact top-k.
+    */
+  def search(
+      collection: DataFrame,
+      query: String,
+      embedder: Embedder,
+      k: Int = SearchConfig().defaultK,
+      filterLanguage: Option[String] = None,
+      autoDetectLanguage: Boolean = true,
+      langCol: String = "language"
+  ): DataFrame = {
+    val lang: Option[String] = filterLanguage.orElse {
+      if (autoDetectLanguage) Some(detectQueryLanguageScala(query)) else None
+    }
+    val qvec = embedder.embed(query)
+    val predicate: Option[Column] = lang.map(l => col(langCol) === l)
+    VectorSearch.topK(collection, qvec, k, predicate = predicate)
+  }
+
+  /** Driver-side C15 (the query is a single driver-side string). Same
+    * thresholds as the Column variant: korean > 10%, viet > 5% on the
+    * lowercased text, default english.
+    */
+  def detectQueryLanguageScala(text: String): String = {
+    if (text == null || text.isEmpty) return "english"
+    val total = text.length.toDouble
+    val kr = text.count(c => c >= '가' && c <= '힣')
+    val vietSet = "àáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ".toSet
+    val vi = text.toLowerCase.count(vietSet.contains)
+    if (kr / total > 0.1) "korean"
+    else if (vi / total > 0.05) "vietnamese"
+    else "english"
+  }
+
+  /** Q7 — RAG prompt assembly: k result rows (already driver-sized) →
+    * numbered context block + system/user messages
+    * (search_utils.py:101-136). The collect here is the correct
+    * altitude: k ≤ 10 rows.
+    */
+  def ragPrompt(results: DataFrame, query: String, textCol: String = "text"): Seq[(String, String)] = {
+    val docs = results.select(col(textCol)).collect().map(_.getString(0))
+    val context = docs.zipWithIndex
+      .map { case (content, i) => s"문서 ${i + 1}: $content" }
+      .mkString("\n\n")
+    Seq(
+      "system" -> ("다음 문서들을 참고하여 질문에 답변해 주세요.\n\n" + context),
+      "user" -> query
+    )
+  }
+
+  /** Q8 — retrieval QA battery: run each query through the façade,
+    * return (query, rank, score, source) rows for threshold judging
+    * (quality_monitor.py:101-141).
+    */
+  def qaBattery(
+      collection: DataFrame,
+      queries: Seq[String],
+      embedder: Embedder,
+      k: Int = 3
+  )(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = queries.flatMap { q =>
+      search(collection, q, embedder, k)
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) =>
+          val score = r.getAs[Double]("score")
+          (q, i + 1, score)
+        }
+    }
+    rows.toDF("query", "rank", "score")
+  }
+}

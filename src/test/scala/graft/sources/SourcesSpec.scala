@@ -1,0 +1,97 @@
+package graft.sources
+
+import graft.SparkTestBase
+import java.nio.file.{Files, Paths}
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
+
+class SourcesSpec extends SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-src").toString
+
+  test("HTML loader: recursive scan, parse, structure, metadata, folder routing (S1-S3, C13)") {
+    val root = tmpDir()
+    Files.createDirectories(Paths.get(s"$root/lms"))
+    val html =
+      """<html><head><title>Course Page</title><script>var x=1;</script>
+        |<style>.a{color:red}</style></head>
+        |<body><nav>menu</nav><h1>Welcome Students</h1>
+        |<p>This is the first paragraph with enough text to survive cleaning.</p>
+        |<p>Second paragraph provides additional useful content here.</p>
+        |<ul><li>item</li></ul><table><tr><td>x</td></tr></table>
+        |<footer>copyright</footer></body></html>""".stripMargin
+    Files.write(Paths.get(s"$root/lms/course.html"), html.getBytes("UTF-8"))
+    Files.write(Paths.get(s"$root/top.html"),
+      "<html><body><p>Top level document with plenty of textual content here.</p></body></html>".getBytes("UTF-8"))
+    Files.write(Paths.get(s"$root/lms/broken.html"), Array[Byte](0x00, 0x01)) // parse survives, tiny text dropped
+
+    val df = HtmlLoader.load(spark, root)
+    val rows = df.collect()
+    assert(rows.length == 2, s"expected 2 docs, got ${rows.map(_.getAs[String]("source")).mkString(",")}")
+    val course = rows.find(_.getAs[String]("filename") == "course.html").get
+    assert(course.getAs[String]("folder_name") == "lms")
+    assert(course.getAs[String]("title") == "Course Page")
+    assert(course.getAs[Int]("heading_count") == 1)
+    assert(course.getAs[Int]("paragraph_count") == 2)
+    assert(course.getAs[Int]("table_count") == 1)
+    assert(course.getAs[Int]("list_count") == 1)
+    val text = course.getAs[String]("text")
+    assert(text.contains("first paragraph"))
+    assert(!text.contains("var x=1"), "script content must be dropped")
+    assert(!text.contains("menu"), "nav content must be dropped")
+    val top = rows.find(_.getAs[String]("filename") == "top.html").get
+    assert(top.getAs[String]("folder_name") == "root")
+    assert(top.getAs[String]("language") == "english")
+  }
+
+  test("HWP section decode: UTF-16LE whitelist keeps Hangul/ASCII, drops NULs and garbage (S5)") {
+    val content = "한글 text 123\n"
+    val garbage = "ЁЂ" // Cyrillic — outside whitelist
+    val bytes = (content + garbage).getBytes("UTF-16LE") ++ Array[Byte](0, 0) // trailing NUL
+    val out = HwpLoader.decodeSectionText(bytes)
+    assert(out.startsWith("한글 text 123\n"))
+    assert(!out.contains('Ё'))
+    assert(out.endsWith("  ") || out.endsWith(" "), "garbage → spaces, NUL dropped")
+  }
+
+  test("inflateRaw round-trips a raw-deflate stream; corrupt input → null (S4)") {
+    val data = ("압축 테스트 " * 50).getBytes("UTF-16LE")
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(data); deflater.finish()
+    val buf = new Array[Byte](64 * 1024)
+    val n = deflater.deflate(buf)
+    val compressed = buf.take(n)
+    assert(HwpLoader.inflateRaw(compressed).toSeq == data.toSeq)
+    assert(HwpLoader.decodeSection(compressed).contains("압축 테스트"))
+    assert(HwpLoader.inflateRaw(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("HWPX zip extract: sections concatenated in order, meta title/author (S7)") {
+    val root = tmpDir()
+    val baos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(baos)
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("Contents/section0.xml", "<hp:p>첫 번째 섹션의 한국어 본문 내용입니다 충분히 길게 작성</hp:p>")
+    entry("Contents/section1.xml", "<hp:p>두 번째 섹션 내용도 여기에 포함되어 있습니다</hp:p>")
+    entry("Contents/meta.xml", "<opf:metadata><dc:title>문서 제목</dc:title><dc:creator>작성자</dc:creator></opf:metadata>")
+    zos.close()
+    val f = new FileOutputStream(s"$root/doc.hwpx")
+    f.write(baos.toByteArray); f.close()
+
+    val df = HwpLoader.loadHwpx(spark, root)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("title") == "문서 제목")
+    assert(r.getAs[String]("author") == "작성자")
+    val text = r.getAs[String]("text")
+    assert(text.contains("첫 번째 섹션"))
+    assert(text.contains("두 번째 섹션"))
+    assert(r.getAs[String]("language") == "korean")
+  }
+}
