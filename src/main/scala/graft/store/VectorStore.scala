@@ -43,6 +43,17 @@ final class VectorStore(root: String) {
     */
   def readAll(spark: SparkSession): DataFrame = spark.read.parquet(root)
 
+  /** S13/O5 — persist an IVF-labeled corpus partitioned by cluster_id:
+    * an ANN probe of nprobe clusters becomes parquet PARTITION PRUNING
+    * (only those directories are read) — the storage layout that makes
+    * IVF search sublinear at 100 TB.
+    */
+  def writeIndexed(labeled: DataFrame, collection: String): Unit =
+    labeled.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id")
+      .parquet(dir(collection))
+
   /** S12 — per-collection row counts. */
   def stats(spark: SparkSession): DataFrame =
     readAll(spark).groupBy("collection").count().orderBy("collection")
