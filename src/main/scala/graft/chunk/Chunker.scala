@@ -46,9 +46,15 @@ object Chunker {
     ChunkMerger.merge(optimized, cfg.minChunkSize, cfg.maxChunkSize)
   }
 
-  /** Column: text → array<string> of final chunks. */
+  /** Column: text → array<string> of final chunks.
+    * Marked non-deterministic ON PURPOSE (the function is pure): it
+    * stops the optimizer from duplicating the expensive udf+cleaning
+    * chain into inferred generator filters (InferFiltersFromGenerate
+    * re-evaluated the whole chain 3× per row — measured 7s vs 0.4s at
+    * sf0.1).
+    */
   def chunksArray(cfg: ChunkerConfig, semantic: Option[SemanticSplitter] = None): Column => Column = {
-    val f = udf { (s: String) => chunkText(s, cfg, semantic) }
+    val f = udf { (s: String) => chunkText(s, cfg, semantic) }.asNondeterministic()
     c => f(c)
   }
 

@@ -63,9 +63,13 @@ object Embedders {
     */
   @transient lazy val default: Embedder = new HashEmbedder(EmbeddingConfig.default.dim)
 
-  /** Column form for plan-friendly composition (scalar UDF). */
+  /** Column form for plan-friendly composition (scalar UDF). Marked
+    * non-deterministic (though pure) so the optimizer never duplicates
+    * the embedding computation into derived predicates — same
+    * rationale as Chunker.chunksArray.
+    */
   def embedUdf(embedder: Embedder): Column => Column = {
-    val f = udf { (s: String) => embedder.embed(s) }
+    val f = udf { (s: String) => embedder.embed(s) }.asNondeterministic()
     c => f(c)
   }
 
