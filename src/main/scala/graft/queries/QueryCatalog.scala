@@ -164,6 +164,53 @@ object QueryCatalog {
        round(sum(value), 2) AS sum_value
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** As-of join (backward): each purchase picks the user's most recent
+    * click at-or-before it. Union+window formulation — one shuffle on
+    * the key, no range explosion (operators.AsofJoin). DuckDB's native
+    * ASOF LEFT JOIN is the oracle.
+    */
+  val qAsofJoin: Q = (s, dir) => {
+    val e = tbl(s, dir, "events")
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("ts").as("click_ts"), col("value").as("click_value"))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsofJoin
+      .asofBackward(purchases, clicks, Seq("user_id"), "ts", Seq("click_ts", "click_value"))
+      // DuckDB reads the nanos parquet at microsecond precision —
+      // emit microseconds on both sides for the compare
+      .withColumn("ts", expr("ts DIV 1000"))
+      .withColumn("asof_click_ts", expr("asof_click_ts DIV 1000"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+         purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts,
+              epoch_us(c.ts) AS asof_click_ts,
+              c.value AS asof_click_value
+       FROM purchases p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+       ORDER BY event_id"""
+
+  /** G4 — 30-bin histogram over document lengths; min/max resolved in a
+    * first tiny job, binning in the second (both deterministic).
+    */
+  val qHistogram: Q = (s, dir) =>
+    QualityMonitor.histogram(
+      tbl(s, dir, "documents").select(col("n_chars")),
+      "n_chars",
+      bins = 30
+    )
+
+  val qHistogramSql: String =
+    """WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo, CAST(max(n_chars) AS DOUBLE) AS hi FROM documents)
+       SELECT CAST(least(floor((n_chars - lo) / (CASE WHEN hi > lo THEN (hi - lo) / 30 ELSE 1 END)), 29) AS INT) AS bin,
+              count(*) AS "count"
+       FROM documents, mm GROUP BY 1 ORDER BY 1"""
+
   // ---------------------------------------------------------------
   // Cleaning / language / token operators (C-battery)
   // ---------------------------------------------------------------
@@ -179,6 +226,19 @@ object QueryCatalog {
       .orderBy("doc_id")
 
   val qCleanBatterySql: String =
+    "SELECT doc_id, trim(text) AS clean_text FROM documents ORDER BY doc_id"
+
+  /** C12 — HWP-strict clean (same trim-equivalence argument on this
+    * corpus: single-line ASCII docs ≥ 10 chars survive the line
+    * filter, whitespace already single). Korean behavior pinned by
+    * TextCleanerSpec goldens.
+    */
+  val qCleanHwp: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), TextCleaner.cleanHwpText(col("text")).as("clean_text"))
+      .orderBy("doc_id")
+
+  val qCleanHwpSql: String =
     "SELECT doc_id, trim(text) AS clean_text FROM documents ORDER BY doc_id"
 
   val qLangContent: Q = (s, dir) =>
@@ -677,6 +737,20 @@ object QueryCatalog {
       .select("vec_id", "label", "score")
   }
 
+  /** IVF-accelerated kNN join: query→centroid broadcast join prunes the
+    * cross product to nprobe clusters per query (rows-only; recall
+    * asserted in VectorSearchSpec).
+    */
+  val qIvfKnnJoin: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    val e = tbl(s, dir, "embeddings")
+    val cfg = graft.model.IndexConfig(nlist = 16, nprobe = 4)
+    val (labeled, centroids) = IvfIndex.build(e, "embedding", cfg)
+    IvfIndex
+      .knnJoin(e.filter(col("vec_id") < 5), labeled, centroids, "vec_id", "vec_id", 3, cfg.nprobe)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------
   // Attribute / projection ops (Q3, C18, C19)
   // ---------------------------------------------------------------
@@ -758,7 +832,10 @@ object QueryCatalog {
     "q_region_join" -> qRegionJoin,
     "q_window_topn" -> qWindowTopN,
     "q_events_hourly" -> qEventsHourly,
+    "q_asof_join" -> qAsofJoin,
+    "q_histogram" -> qHistogram,
     "q_clean_battery" -> qCleanBattery,
+    "q_clean_hwp" -> qCleanHwp,
     "q_lang_content" -> qLangContent,
     "q_lang_query" -> qLangQuery,
     "q_tokens" -> qTokens,
@@ -783,6 +860,7 @@ object QueryCatalog {
     "q_multi_collection" -> qMultiCollection,
     "q_knn_join" -> qKnnJoin,
     "q_ivf_search" -> qIvfSearch,
+    "q_ivf_knn_join" -> qIvfKnnJoin,
     "q_attr_query" -> qAttrQuery,
     "q_truncate_project" -> qTruncateProject,
     "q_collection_name" -> qCollectionName,
@@ -795,7 +873,10 @@ object QueryCatalog {
     "q_region_join" -> qRegionJoinSql,
     "q_window_topn" -> qWindowTopNSql,
     "q_events_hourly" -> qEventsHourlySql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_histogram" -> qHistogramSql,
     "q_clean_battery" -> qCleanBatterySql,
+    "q_clean_hwp" -> qCleanHwpSql,
     "q_lang_content" -> qLangContentSql,
     "q_lang_query" -> qLangQuerySql,
     "q_tokens" -> qTokensSql,
