@@ -81,6 +81,67 @@ object HwpLoader {
     decodeSectionText(if (inflated != null) inflated else streamBytes)
   }
 
+  /** S4 complete — HWP v5 (CFB container) extract: FileHeader flags
+    * bit 0 selects per-section zlib compression; BodyText/Section{i}
+    * streams (≤ 100, matching hwp_loader.py:139) are inflated and
+    * UTF-16LE-decoded. Returns null text on malformed containers.
+    */
+  def extractHwp(bytes: Array[Byte]): String = {
+    try {
+      val all = CfbReader.streams(bytes)
+      val compressed = all.get("FileHeader").exists { fh =>
+        fh.length > 39 && (fh(36) & 0x01) == 1
+      }
+      val SectionName = "BodyText/Section(\\d+)".r
+      val sections = all.toSeq
+        .flatMap {
+          case (SectionName(idx), data) if idx.toInt < 100 => Some(idx.toInt -> data)
+          case _ => None
+        }
+        .sortBy(_._1)
+      if (sections.isEmpty) null
+      else
+        sections
+          .map { case (_, data) =>
+            if (compressed) {
+              val inflated = inflateRaw(data)
+              decodeSectionText(if (inflated != null) inflated else data)
+            } else decodeSectionText(data)
+          }
+          .mkString("\n")
+    } catch { case _: Throwable => null }
+  }
+
+  private val hwpUdf = udf { (bytes: Array[Byte]) => extractHwp(bytes) }
+
+  /** Load a directory of binary .hwp (CFB) files into the document
+    * schema with HWP-strict cleaning.
+    */
+  def loadHwp(spark: SparkSession, dir: String, minChars: Int = 10): DataFrame = {
+    val raw = spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.hwp")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+
+    raw
+      .withColumn("raw_text", hwpUdf(col("content")))
+      .filter(col("raw_text").isNotNull) // O9
+      .select(
+        col("path").as("source"),
+        element_at(split(col("path"), "/"), -1).as("filename"),
+        lit("hwp").as("file_type"),
+        col("length").as("file_size"),
+        col("modificationTime").as("modified_time"),
+        col("raw_text")
+      )
+      .withColumn("text", TextCleaner.cleanHwpText(col("raw_text")))
+      .drop("raw_text")
+      .withColumn("char_count", length(col("text")))
+      .withColumn("language", LanguageDetect.detectContentLanguage(col("text")))
+      .filter(length(col("text")) >= minChars)
+  }
+
   private def xmlElementText(xml: String): String =
     xml
       .replaceAll("(?s)<!--.*?-->", " ")
