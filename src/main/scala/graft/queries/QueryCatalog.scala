@@ -792,6 +792,25 @@ object QueryCatalog {
     """SELECT DISTINCT source, 'docs_' || regexp_replace(lower(source), '[- ]', '_', 'g') AS collection
        FROM documents ORDER BY source"""
 
+  /** Multimodal plumbing over driver tables: document text cast to a
+    * binary payload column, then the batched media metadata + feature
+    * extraction stages, feeding straight into vector top-k — the full
+    * opaque-binary path exercised on real testdata (rows-only; codec
+    * stubs are deterministic, MultimodalSpec pins them).
+    */
+  val qMediaFeatures: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val withMeta = Multimodal.withMediaMeta(docs, "payload", "text-as-binary")
+    val featured = Multimodal.withMediaFeatures(withMeta, "payload", dim = 32)
+    featured.select(
+      col("doc_id"),
+      col("media_meta.size_bytes").as("size_bytes"),
+      col("features")
+    ).orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
   // End-to-end pipeline (flagship spine; rows-only)
   // ---------------------------------------------------------------
@@ -864,6 +883,7 @@ object QueryCatalog {
     "q_attr_query" -> qAttrQuery,
     "q_truncate_project" -> qTruncateProject,
     "q_collection_name" -> qCollectionName,
+    "q_media_features" -> qMediaFeatures,
     "q_pipeline_e2e" -> qPipelineE2E
   )
 

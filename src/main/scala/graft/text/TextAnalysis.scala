@@ -27,7 +27,7 @@ object TextAnalysis {
     val longWordExtra = aggregate(
       filter(split(c, "(?U)\\W+"), w => length(w) > 4),
       lit(0L),
-      (acc, w) => acc + (length(w) - 1).cast("long") / 4
+      (acc, w) => acc + floor((length(w) - 1) / 4).cast("long")
     )
     (pieces.cast("long") + longWordExtra).cast("int")
   }

@@ -1,0 +1,65 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  private def one(c: org.apache.spark.sql.Column, text: String): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(c.as("v")).head()
+  }
+
+  test("whitespace token count") {
+    import spark.implicits._
+    val got = Seq("a b  c", "", "  ", "single").toDF("t")
+      .select(TextAnalysis.tokenCountWhitespace(col("t")).as("n")).as[Int].collect()
+    assert(got.toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("BPE-ish token count: punctuation splits, long words cost extra") {
+    val short = one(TextAnalysis.tokenCountBpeish(col("t")), "cat sat").getInt(0)
+    assert(short == 2)
+    val punct = one(TextAnalysis.tokenCountBpeish(col("t")), "cat, sat.").getInt(0)
+    assert(punct == 4) // cat , sat .
+    val long = one(TextAnalysis.tokenCountBpeish(col("t")), "internationalization").getInt(0)
+    assert(long > 1, s"20-char word should cost multiple subword tokens, got $long")
+  }
+
+  test("language ID: script detection") {
+    import spark.implicits._
+    val cases = Seq(
+      "한국어 텍스트가 대부분인 문서입니다" -> "ko",
+      "the quick brown fox is definitely english text" -> "en",
+      "der hund und die katze sind nicht hier" -> "de",
+      "это русский текст с кириллицей" -> "ru",
+      "日本語のテキストですかな" -> "ja"
+    )
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.languageIdNgram(col("t")).as("l")).as[String].collect()
+    cases.map(_._2).zip(got).foreach { case (exp, g) => assert(g == exp, s"expected $exp got $g") }
+  }
+
+  test("fingerprints are whitespace/case-insensitive and stable") {
+    import spark.implicits._
+    val df = Seq("Hello  World", "hello world", "different").toDF("t")
+      .select(
+        TextAnalysis.fingerprintMd5(col("t")).as("md5"),
+        TextAnalysis.fingerprint64(col("t")).as("f64")
+      )
+    val rows = df.collect()
+    assert(rows(0).getString(0) == rows(1).getString(0))
+    assert(rows(0).getLong(1) == rows(1).getLong(1))
+    assert(rows(0).getString(0) != rows(2).getString(0))
+  }
+
+  test("quality score is in [0,1] and rewards fluent prose") {
+    import spark.implicits._
+    val prose = "the cat sat on the mat and it was a good day for all of us in the house"
+    val junk = "@@@@ #### $$$$ %%%%"
+    val got = Seq(prose, junk).toDF("t")
+      .select(TextAnalysis.qualityScore(col("t")).as("q")).as[Double].collect()
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(0) > got(1))
+  }
+}
