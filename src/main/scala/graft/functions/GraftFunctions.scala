@@ -37,8 +37,13 @@ object GraftFunctions {
     }
 }
 
-/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` —
+  * SQL functions + the IVF top-k pruning rewrite (which stays inert
+  * until a collection is registered in [[graft.plans.IvfCatalog]]).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
+    ext.injectOptimizerRule(_ => graft.plans.IvfTopKPrune)
+  }
 }
