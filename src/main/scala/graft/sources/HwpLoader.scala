@@ -112,7 +112,33 @@ object HwpLoader {
     } catch { case _: Throwable => null }
   }
 
-  private val hwpUdf = udf { (bytes: Array[Byte]) => extractHwp(bytes) }
+  /** Text + document metadata from the HwpSummaryInformation property
+    * set (title/subject/author/keywords — hwp_loader.py:358-371 parity).
+    */
+  def extractHwpDoc(bytes: Array[Byte]): (String, String, String, String, String) = {
+    val text = extractHwp(bytes)
+    if (text == null) return (null, null, null, null, null)
+    val meta =
+      try {
+        CfbReader
+          .streams(bytes)
+          .collectFirst { case (name, data) if name.endsWith("HwpSummaryInformation") => data }
+          .map(OlePropertySet.stringProperties)
+          .getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty[Int, String] }
+    (
+      text,
+      meta.get(OlePropertySet.PidTitle).orNull,
+      meta.get(OlePropertySet.PidAuthor).orNull,
+      meta.get(OlePropertySet.PidSubject).orNull,
+      meta.get(OlePropertySet.PidKeywords).orNull
+    )
+  }
+
+  private val hwpUdf = udf { (bytes: Array[Byte]) =>
+    val d = extractHwpDoc(bytes)
+    if (d._1 == null) null else d
+  }
 
   /** Load a directory of binary .hwp (CFB) files into the document
     * schema with HWP-strict cleaning.
@@ -125,15 +151,19 @@ object HwpLoader {
       .load(dir)
 
     raw
-      .withColumn("raw_text", hwpUdf(col("content")))
-      .filter(col("raw_text").isNotNull) // O9
+      .withColumn("parsed", hwpUdf(col("content")))
+      .filter(col("parsed").isNotNull) // O9
       .select(
         col("path").as("source"),
         element_at(split(col("path"), "/"), -1).as("filename"),
         lit("hwp").as("file_type"),
         col("length").as("file_size"),
         col("modificationTime").as("modified_time"),
-        col("raw_text")
+        col("parsed._1").as("raw_text"),
+        col("parsed._2").as("title"),
+        col("parsed._3").as("author"),
+        col("parsed._4").as("subject"),
+        col("parsed._5").as("keywords")
       )
       .withColumn("text", TextCleaner.cleanHwpText(col("raw_text")))
       .drop("raw_text")

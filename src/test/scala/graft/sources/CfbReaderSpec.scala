@@ -125,6 +125,41 @@ class CfbReaderSpec extends SparkTestBase {
     assert(out == text)
   }
 
+  /** MS-OLEPS PropertySetStream with title(2)/author(4) as VT_LPWSTR. */
+  private def buildSummaryStream(title: String, author: String): Array[Byte] = {
+    def lpwstr(s: String): Array[Byte] = {
+      val chars = s + "\u0000"
+      val b = ByteBuffer.allocate(8 + chars.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(31) // VT_LPWSTR
+      b.putInt(chars.length)
+      b.put(chars.getBytes("UTF-16LE"))
+      b.array()
+    }
+    val vTitle = lpwstr(title)
+    val vAuthor = lpwstr(author)
+    val setOffset = 48 // header(28) + fmtid(16) + offset(4)
+    val headerSize = 8 + 2 * 8 // size+count + 2 id/offset pairs
+    val b = ByteBuffer.allocate(setOffset + headerSize + vTitle.length + vAuthor.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(0, 0xfffe.toShort) // byte order
+    b.putInt(24, 1) // one property set
+    b.putInt(44, setOffset) // offset of the set (fmtid left zero)
+    b.position(setOffset)
+    b.putInt(setOffset + headerSize + vTitle.length + vAuthor.length - setOffset) // size
+    b.putInt(2) // numProps
+    b.putInt(2); b.putInt(headerSize) // pid 2 (title) at offset
+    b.putInt(4); b.putInt(headerSize + vTitle.length) // pid 4 (author)
+    b.put(vTitle); b.put(vAuthor)
+    b.array()
+  }
+
+  test("OLE property set: title/author round-trip") {
+    val props = OlePropertySet.stringProperties(buildSummaryStream("문서 제목", "홍길동"))
+    assert(props(OlePropertySet.PidTitle) == "문서 제목")
+    assert(props(OlePropertySet.PidAuthor) == "홍길동")
+    assert(OlePropertySet.stringProperties(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("malformed container → null (error isolation)") {
     assert(HwpLoader.extractHwp(Array[Byte](1, 2, 3)) == null)
     assert(HwpLoader.extractHwp("not a cfb file at all, just text padded to be long enough".getBytes) == null)
