@@ -164,6 +164,83 @@ object QueryCatalog {
        round(sum(value), 2) AS sum_value
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** Rollup aggregation — subtotals + grand total in one pass
+    * (grouping-sets family; SURVEY §2.7 lists it as engine-for-free).
+    */
+  val qRollup: Q = (s, dir) =>
+    tbl(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  val qRollupSql: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+       ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
+
+  /** Set operations: customers active in both event classes minus an
+    * exclusion set (INTERSECT / EXCEPT distinct semantics).
+    */
+  val qSetOps: Q = (s, dir) => {
+    val e = tbl(s, dir, "events")
+    val clickers = e.filter(col("event_type") === "click").select(col("user_id"))
+    val buyers = e.filter(col("event_type") === "purchase").select(col("user_id"))
+    val errored = e.filter(col("event_type") === "error").select(col("user_id"))
+    clickers.intersect(buyers).except(errored).orderBy("user_id")
+  }
+
+  val qSetOpsSql: String =
+    """(SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase')
+       EXCEPT SELECT user_id FROM events WHERE event_type = 'error'
+       ORDER BY user_id"""
+
+  /** Gap-based sessionization: a new session starts after > 30 min of
+    * user inactivity; session id = running count of session starts per
+    * user (lag + cumulative sum windows — the batch shape of
+    * session_window streaming aggregation).
+    */
+  val qSessionize: Q = (s, dir) => {
+    val e = tbl(s, dir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("value"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    e.withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start"),
+        max(col("ts_us")).as("session_end"),
+        round(sum(col("value")), 2).as("session_value")
+      )
+      .orderBy("user_id", "session_id")
+  }
+
+  val qSessionizeSql: String =
+    """WITH t AS (
+         SELECT user_id, epoch_us(ts) AS ts_us, value,
+                lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_ts
+         FROM events),
+       marked AS (
+         SELECT user_id, ts_us, value,
+                CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+         FROM t),
+       sessions AS (
+         SELECT user_id, ts_us, value,
+                CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM marked)
+       SELECT user_id, session_id, count(*) AS n_events,
+              min(ts_us) AS session_start, max(ts_us) AS session_end,
+              round(sum(value), 2) AS session_value
+       FROM sessions GROUP BY user_id, session_id
+       ORDER BY user_id, session_id"""
+
   /** As-of join (backward): each purchase picks the user's most recent
     * click at-or-before it. Union+window formulation — one shuffle on
     * the key, no range explosion (operators.AsofJoin). DuckDB's native
@@ -871,6 +948,9 @@ object QueryCatalog {
     "q_events_hourly" -> qEventsHourly,
     "q_asof_join" -> qAsofJoin,
     "q_histogram" -> qHistogram,
+    "q_rollup" -> qRollup,
+    "q_set_ops" -> qSetOps,
+    "q_sessionize" -> qSessionize,
     "q_clean_battery" -> qCleanBattery,
     "q_clean_hwp" -> qCleanHwp,
     "q_lang_content" -> qLangContent,
@@ -913,6 +993,9 @@ object QueryCatalog {
     "q_events_hourly" -> qEventsHourlySql,
     "q_asof_join" -> qAsofJoinSql,
     "q_histogram" -> qHistogramSql,
+    "q_rollup" -> qRollupSql,
+    "q_set_ops" -> qSetOpsSql,
+    "q_sessionize" -> qSessionizeSql,
     "q_clean_battery" -> qCleanBatterySql,
     "q_clean_hwp" -> qCleanHwpSql,
     "q_lang_content" -> qLangContentSql,
