@@ -205,6 +205,68 @@ object Dedup {
       .select("block", "id_a", "id_b", "jaccard")
   }
 
+  /** Prefix-filtered set-similarity join — the open-vocabulary scale
+    * path (standard prefix-filtering: for J(A,B) >= t, A and B must
+    * share at least one of each other's ⌊(1-t)·|X|⌋+1 RAREST tokens).
+    * Only prefix tokens are indexed, so hot tokens (stopwords) never
+    * drive the candidate join; candidates are verified exactly.
+    * Complements [[jaccardBitmapPairs]] (dense small vocab) and
+    * [[minHashLshPairs]] (probabilistic).
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val t = df.select(
+      col(idCol).as("id"),
+      array_distinct(split(normalizedText(col(textCol)), " ")).as("toks")
+    )
+    // global token frequencies → rarity rank (ties broken by token)
+    val ex = t.select(col("id"), explode(col("toks")).as("token"))
+    val freq = ex.groupBy("token").count()
+    val ranked = freq.withColumn(
+      "rank",
+      row_number().over(Window.orderBy(col("count"), col("token")))
+    )
+    // tokens with rarity rank, per doc, rarest first
+    val withRank = ex
+      .join(ranked.select("token", "rank"), Seq("token"))
+    val docTokens = withRank
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("token")))).as("rt"))
+      .select(
+        col("id"),
+        col("rt.token").as("sorted_toks"),
+        size(col("rt")).as("sz")
+      )
+    // index only the prefix
+    val prefixLen = ceil((lit(1.0) - threshold) * col("sz")).cast("int") + 1
+    val prefix = docTokens
+      .select(col("id"), col("sz"), explode(slice(col("sorted_toks"), lit(1), prefixLen)).as("token"))
+
+    val a = prefix.select(col("token"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("token"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = a
+      .join(b, Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(
+        col("sz_a").cast("double") >= lit(threshold) * col("sz_b") &&
+          col("sz_b").cast("double") >= lit(threshold) * col("sz_a")
+      )
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val sets = docTokens.select(col("id"), col("sorted_toks"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sorted_toks").as("t_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sorted_toks").as("t_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardExpr(col("t_a"), col("t_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Bitmap set-similarity join: dictionary-encode tokens, pack each
     * row's token set into a bitmap, enumerate same-block pairs and
     * compute exact Jaccard as popcount(a AND b) / popcount(a OR b).

@@ -54,6 +54,26 @@ final class VectorStore(root: String) {
       .partitionBy("cluster_id")
       .parquet(dir(collection))
 
+  /** Bucketed catalog table — the co-located-join layout: two tables
+    * bucketed (and sorted) on the same key join WITHOUT a shuffle or a
+    * sort, the key optimization for repeated chunk↔embedding or
+    * chunk↔metadata joins across pipeline stages at 100 TB.
+    * (Bucketing requires the table catalog; directory parquet cannot
+    * carry bucket metadata.)
+    */
+  def writeBucketedTable(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int
+  ): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S12 — per-collection row counts. */
   def stats(spark: SparkSession): DataFrame =
     readAll(spark).groupBy("collection").count().orderBy("collection")

@@ -73,4 +73,22 @@ class DedupSpec extends SparkTestBase {
     val pairs = Dedup.embeddingNearDupPairs(df, "id", "vec", 0.99, signBits = 4).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
+
+  test("prefix-filtered jaccard matches exhaustive pairs (open-vocab path)") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 47).map(i => s"tok$i").mkString(" ") + " xa xb xc"
+    val other = (100 to 150).map(i => s"zed$i").mkString(" ")
+    val other2 = (100 to 147).map(i => s"zed$i").mkString(" ") + " ya yb yc"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other), (4L, other2)).toDF("id", "text")
+
+    val prefix = Dedup.prefixJaccardPairs(df, "id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+    // exhaustive truth via single-block quadratic
+    val exact = Dedup.ngramJaccardPairs(df.withColumn("b", org.apache.spark.sql.functions.lit(1)), "id", "text", "b", 0.8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(x => (x._1, x._2))
+    assert(prefix.map(x => (x._1, x._2)).toSeq == exact.map(x => (x._1, x._2)).toSeq)
+    assert(prefix.map(x => (x._1, x._2)).toSet == Set((1L, 2L), (3L, 4L)))
+    prefix.zip(exact).foreach { case (p, e) => assert(math.abs(p._3 - e._3) < 1e-12) }
+  }
 }

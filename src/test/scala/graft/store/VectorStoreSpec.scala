@@ -62,4 +62,28 @@ class VectorStoreSpec extends SparkTestBase {
     store.dropCollection("c1")
     assert(!new java.io.File(s"$root/c1").exists())
   }
+
+  test("bucketed tables join without shuffle or sort (co-located layout)") {
+    import spark.implicits._
+    val store = new VectorStore(java.nio.file.Files.createTempDirectory("graft-bt").toString)
+    val chunks = (1 to 1000).map(i => (s"chunk$i", s"text $i")).toDF("chunk_id", "text")
+    val meta = (1 to 1000).map(i => (s"chunk$i", i % 7)).toDF("chunk_id", "quality")
+    store.writeBucketedTable(chunks, "bt_chunks", "chunk_id", 8)
+    store.writeBucketedTable(meta, "bt_meta", "chunk_id", 8)
+    // force the merge-join path (tiny test tables would otherwise be
+    // broadcast, which sidesteps bucketing entirely)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bt_chunks").join(spark.table("bt_meta"), "chunk_id")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must use buckets:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bt_chunks")
+      spark.sql("DROP TABLE IF EXISTS bt_meta")
+    }
+  }
 }
