@@ -223,23 +223,23 @@ object Dedup {
       col(idCol).as("id"),
       array_distinct(split(normalizedText(col(textCol)), " ")).as("toks")
     )
-    // global token frequencies → rarity rank (ties broken by token)
+    // Global token frequencies define the rarity order. The order is
+    // only ever consumed per-doc (sort_array below), so the frequency
+    // table is NEVER globally ranked — a row_number() over an
+    // unpartitioned window here would funnel the whole vocabulary
+    // through one task at open-vocab scale. Sorting by the
+    // (count, token) struct gives the identical rarest-first order
+    // with zero windows.
     val ex = t.select(col("id"), explode(col("toks")).as("token"))
     val freq = ex.groupBy("token").count()
-    val ranked = freq.withColumn(
-      "rank",
-      row_number().over(Window.orderBy(col("count"), col("token")))
-    )
-    // tokens with rarity rank, per doc, rarest first
-    val withRank = ex
-      .join(ranked.select("token", "rank"), Seq("token"))
-    val docTokens = withRank
+    val docTokens = ex
+      .join(freq, Seq("token"))
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("rank"), col("token")))).as("rt"))
+      .agg(sort_array(collect_list(struct(col("count"), col("token")))).as("ct"))
       .select(
         col("id"),
-        col("rt.token").as("sorted_toks"),
-        size(col("rt")).as("sz")
+        col("ct.token").as("sorted_toks"),
+        size(col("ct")).as("sz")
       )
     // index only the prefix
     val prefixLen = ceil((lit(1.0) - threshold) * col("sz")).cast("int") + 1
@@ -283,20 +283,39 @@ object Dedup {
       idCol: String,
       textCol: String,
       blockCol: String,
-      threshold: Double
+      threshold: Double,
+      maxVocab: Int = 1 << 16
   ): DataFrame = {
     val t = df.select(
       col(idCol).as("id"),
       col(blockCol).as("block"),
       array_distinct(split(normalizedText(col(textCol)), " ")).as("toks")
     )
-    // token dictionary — tiny by assumption; the single-partition
-    // window is over #distinct-tokens rows only
-    val dict = t
-      .select(explode(col("toks")).as("token"))
-      .distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col("token"))) - 1)
+    // Token dictionary. Contiguous ids [0, vocab) are assigned with a
+    // distributed zipWithIndex over the sorted tokens — no
+    // single-partition window, so even a misuse-sized vocabulary never
+    // funnels through one task before the fence below trips.
+    val spark = df.sparkSession
+    val tokens = t.select(explode(col("toks")).as("token")).distinct()
+    val dict = spark.createDataFrame(
+      tokens.orderBy("token").rdd.zipWithIndex.map { case (row, idx) =>
+        org.apache.spark.sql.Row(row.getString(0), idx.toInt)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tid", org.apache.spark.sql.types.IntegerType)
+      ))
+    )
     val vocab = dict.count().toInt // one small job, like an index build
+    // The whole design (broadcast dict, per-row vocab-width bitmaps)
+    // assumes a closed vocabulary. Fail loudly on misuse instead of
+    // melting down slowly — open vocabularies belong to
+    // ngramJaccardPairs / prefixJaccardPairs / minHashLshPairs.
+    require(
+      vocab <= maxVocab,
+      s"jaccardBitmapPairs: vocabulary $vocab exceeds maxVocab=$maxVocab — " +
+        "use ngramJaccardPairs/prefixJaccardPairs/minHashLshPairs for open vocabularies"
+    )
     val ex = t
       .select(col("id"), col("block"), explode(col("toks")).as("token"))
       .join(broadcast(dict), Seq("token"))
@@ -394,10 +413,13 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on the 4 16-bit sub-bands (any exact
-    * band match → candidate; a pair within Hamming distance 3 must
-    * match at least one of 4 bands by pigeonhole), verify by full
-    * Hamming distance.
+  /** SimHash near-dup pairs: block on `maxHamming + 1` sub-bands of the
+    * 64-bit signature — a pair within Hamming distance d ≤ maxHamming
+    * differs in at most maxHamming bands, so by pigeonhole at least one
+    * of the maxHamming+1 bands matches exactly and the pair always
+    * surfaces as a candidate (a fixed band count silently loses recall
+    * the moment maxHamming exceeds bands-1). Candidates are verified by
+    * full Hamming distance.
     */
   def simHashPairs(
       df: DataFrame,
@@ -405,21 +427,34 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val bands = maxHamming + 1
+    // band b covers bits [bounds(b), bounds(b+1)) — near-equal widths
+    val bounds = (0 to bands).map(i => i * 64 / bands)
     val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
     val banded = sigs.select(
       col("id"),
       col("sig"),
       posexplode(
-        array((0 until 4).map(b => shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+        array((0 until bands).map { b =>
+          val width = bounds(b + 1) - bounds(b)
+          val mask = if (width >= 64) -1L else (1L << width) - 1
+          shiftright(col("sig"), bounds(b)).bitwiseAND(lit(mask))
+        }: _*)
       ).as(Seq("band", "bucket"))
     )
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // Verify (cheap codegen'd xor+popcount) BEFORE deduplicating: the
+    // narrow bands produce far more false-positive collisions than true
+    // pairs, so filtering first keeps the dropDuplicates shuffle to the
+    // (tiny) surviving pair set. Duplicate candidates carry identical
+    // hamming, so the reorder is semantics-preserving.
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hammingDistance(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 

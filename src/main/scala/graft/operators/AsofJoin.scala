@@ -50,9 +50,13 @@ object AsofJoin {
         leftCols.filterNot(c => keyCols.contains(c) || c == timeCol).map(col): _*
     )
     val unioned = l.unionByName(r)
+    // Final tiebreak: among right rows sharing (key, time) the carried
+    // payload would otherwise be whichever row the sort happened to
+    // place last — order by the payload struct so ties resolve
+    // deterministically (max payload wins) across runs and engines.
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol), col("__side"))
+      .orderBy(col(timeCol), col("__side"), struct(payload.map(c => col(s"__p_$c")): _*))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))

@@ -292,31 +292,99 @@ object QueryCatalog {
   // Cleaning / language / token operators (C-battery)
   // ---------------------------------------------------------------
 
-  /** Full C1-C11 battery. On the driver corpus (lowercase ASCII) the
-    * battery is provably equivalent to trim() — the oracle checks that
-    * no stage misfires on clean text; Korean/HTML/noise behavior is
-    * covered by the ScalaTest goldens (TextCleanerSpec).
+  /** Noise wrapped around each document so the battery has real work to
+    * do in BOTH engines: HTML tags (C4), template tags (C5), URLs +
+    * copyright/footer lines (C8), special chars outside the keep-set
+    * (C9), plus Hangul that must pass through untouched. The noise is
+    * deliberately constructed so the stages DuckDB's RE2 cannot express
+    * (C3's lookarounds) are provable no-ops on it: no Korean noise
+    * syllables, no single-capital runs, no letter-digit adjacency, no
+    * `javascript:`/`function(`, no emoji, no chars outside C2's
+    * whitelist. The old trim()-only oracle additionally proved the
+    * battery is identity on the raw corpus, so corpus-side interactions
+    * reduce to the same regexes running on the same string in both
+    * engines.
+    */
+  private val CleanNoiseSuffix: String =
+    " </div> {{#head}}tpl{{/head}} {% if x %} ${var} " +
+      "see https://example.com/abc?q=1 and www.test.com here " +
+      "Copyright 2024 All Rights Reserved Page 3 of 7 " +
+      "alpha = beta & gamma 페이지"
+
+  private def noisyText: Column =
+    concat(lit("<div class='x'> "), col("text"), lit(CleanNoiseSuffix))
+
+  // The same noisy column in DuckDB SQL (single quotes doubled).
+  private val NoisySqlExpr: String =
+    "'<div class=''x''> ' || text || ' </div> {{#head}}tpl{{/head}} {% if x %} ${var} " +
+      "see https://example.com/abc?q=1 and www.test.com here " +
+      "Copyright 2024 All Rights Reserved Page 3 of 7 " +
+      "alpha = beta & gamma 페이지'"
+
+  // DuckDB (RE2) replication of the battery stages that act on the
+  // noisy corpus: C4 HTML, C5 templates, C8 header/footer/URL, C9
+  // special chars, C10 whitespace, C11 line trim + end trim. RE2 has
+  // no (?U), but after C1/C2 only ASCII + Hangul survive and Hangul is
+  // explicit in the C9 class, so ASCII \w is equivalent here.
+  private def cleanSqlChain(input: String): String = {
+    val c4 = s"regexp_replace($input, '<[^>]+>', ' ', 'g')"
+    val c5 = Seq(
+      "(?i)\\{\\{#?/?[^}]+\\}\\}",
+      "(?i)\\{%[^%]+%\\}",
+      "(?i)\\$\\{[^}]+\\}",
+      "(?i)<%[^%]+%>",
+      "(?i)\\[\\[[^\\]]+\\]\\]"
+    ).foldLeft(c4)((acc, p) => s"regexp_replace($acc, '$p', '', 'g')")
+    val c8 = Seq(
+      "(?im)Copyright.*?\\d{4}",
+      "(?im)All [Rr]ights [Rr]eserved",
+      "(?im)Page\\s*\\d+\\s*(of\\s*\\d+)?",
+      "(?im)^\\s*\\d+\\s*$",
+      "(?im)\\|\\s*Page\\s*\\d+",
+      "(?im)www\\..*?\\.com",
+      "(?im)http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*\\\\(\\\\),]|(?:%[0-9a-fA-F][0-9a-fA-F]))+"
+    ).foldLeft(c5)((acc, p) => s"regexp_replace($acc, '$p', '', 'g')")
+    val c9 =
+      s"regexp_replace($c8, '[^\\w\\s가-힣ㄱ-ㅎㅏ-ㅣa-zA-Z0-9.,!?;:''\"\\-()\\[\\]{}+@/·•]', ' ', 'g')"
+    val c10 = s"regexp_replace(regexp_replace(regexp_replace($c9, " +
+      "'[ \\t]+', ' ', 'g'), '\\n\\s*\\n', chr(10)||chr(10), 'g'), " +
+      "'\\n{3,}', chr(10)||chr(10), 'g')"
+    s"regexp_replace(regexp_replace(regexp_replace($c10, " +
+      "'(?m)^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$', '', 'g'), " +
+      "'\\n{3,}', chr(10)||chr(10), 'g'), '^\\s+|\\s+$', '', 'g')"
+  }
+
+  /** Full C1-C11 battery over noise-wrapped corpus text — the oracle
+    * replicates C4/C5/C8/C9/C10/C11 as DuckDB regexp_replace chains, so
+    * a green row certifies the battery transforms noisy text
+    * identically in both engines. Korean/HWP-noise stages stay pinned
+    * by the 145 TextCleanerSpec goldens (RE2 can't express their
+    * lookarounds).
     */
   val qCleanBattery: Q = (s, dir) =>
     tbl(s, dir, "documents")
-      .select(col("doc_id"), TextCleaner.cleanText(col("text")).as("clean_text"))
+      .select(col("doc_id"), TextCleaner.cleanText(noisyText).as("clean_text"))
       .orderBy("doc_id")
 
   val qCleanBatterySql: String =
-    "SELECT doc_id, trim(text) AS clean_text FROM documents ORDER BY doc_id"
+    s"""SELECT doc_id, ${cleanSqlChain(s"($NoisySqlExpr)")} AS clean_text
+        FROM documents ORDER BY doc_id"""
 
-  /** C12 — HWP-strict clean (same trim-equivalence argument on this
-    * corpus: single-line ASCII docs ≥ 10 chars survive the line
-    * filter, whitespace already single). Korean behavior pinned by
-    * TextCleanerSpec goldens.
+  /** C12 — HWP-strict clean over the same noisy column. On this corpus
+    * (single-line docs — proven by the round-1 green trim oracle, which
+    * would hash-mismatch on any multi-line doc) the line filter keeps
+    * the single ≥10-char line, so the oracle is the battery chain plus
+    * the observable flatten-all-whitespace quirk.
     */
   val qCleanHwp: Q = (s, dir) =>
     tbl(s, dir, "documents")
-      .select(col("doc_id"), TextCleaner.cleanHwpText(col("text")).as("clean_text"))
+      .select(col("doc_id"), TextCleaner.cleanHwpText(noisyText).as("clean_text"))
       .orderBy("doc_id")
 
   val qCleanHwpSql: String =
-    "SELECT doc_id, trim(text) AS clean_text FROM documents ORDER BY doc_id"
+    s"""SELECT doc_id, regexp_replace(regexp_replace(${cleanSqlChain(s"($NoisySqlExpr)")},
+          '\\s+', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS clean_text
+        FROM documents ORDER BY doc_id"""
 
   val qLangContent: Q = (s, dir) =>
     tbl(s, dir, "documents")
@@ -326,14 +394,25 @@ object QueryCatalog {
   /** C14 thresholds: korean>10%, viet>2%, english>30%, else argmax,
     * empty → korean. ASCII corpus → english when alpha>30%.
     */
+  // Full threshold + argmax tiebreak chain (kr >= vi >= en), exactly
+  // mirroring detectContentLanguage — no corpus-dependent ELSE shortcut.
   val qLangContentSql: String =
-    """SELECT doc_id, CASE
-         WHEN length(text) = 0 THEN 'korean'
-         WHEN length(text) - length(regexp_replace(text, '[가-힣]', '', 'g')) > 0.10 * length(text) THEN 'korean'
-         WHEN length(text) - length(regexp_replace(text, '[ăâđêôơưĂÂĐÊÔƠƯàáảãạèéẻẽẹìíỉĩịòóỏõọùúủũụỳýỷỹỵ]', '', 'g')) > 0.02 * length(text) THEN 'vietnamese'
-         WHEN length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) > 0.30 * length(text) THEN 'english'
-         ELSE 'korean' END AS language
-       FROM documents ORDER BY doc_id"""
+    """WITH c AS (
+         SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS total,
+           CAST(length(text) - length(regexp_replace(text, '[가-힣]', '', 'g')) AS DOUBLE) AS kr,
+           CAST(length(text) - length(regexp_replace(text, '[ăâđêôơưĂÂĐÊÔƠƯàáảãạèéẻẽẹìíỉĩịòóỏõọùúủũụỳýỷỹỵ]', '', 'g')) AS DOUBLE) AS vi,
+           CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS en
+         FROM documents)
+       SELECT doc_id, CASE
+         WHEN total = 0 THEN 'korean'
+         WHEN kr / total > 0.10 THEN 'korean'
+         WHEN vi / total > 0.02 THEN 'vietnamese'
+         WHEN en / total > 0.30 THEN 'english'
+         WHEN kr / total >= vi / total AND kr / total >= en / total THEN 'korean'
+         WHEN vi / total >= en / total THEN 'vietnamese'
+         ELSE 'english' END AS language
+       FROM c ORDER BY doc_id"""
 
   val qLangQuery: Q = (s, dir) =>
     tbl(s, dir, "documents")
@@ -902,7 +981,14 @@ object QueryCatalog {
     featured.select(
       col("doc_id"),
       col("media_meta.size_bytes").as("size_bytes"),
-      col("features")
+      // The raw array<float> is unsortable by the driver's rows-only
+      // harness (pandas lexsort can't hash ndarrays) — emit a stable
+      // scalar encoding instead: md5 over the 4-dp-rounded JSON plus a
+      // rounded sum as a human-auditable checksum.
+      md5(to_json(transform(col("features"), x => round(x.cast("double"), 4))))
+        .as("features_md5"),
+      round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x.cast("double")), 3)
+        .as("features_sum")
     ).orderBy("doc_id")
   }
 

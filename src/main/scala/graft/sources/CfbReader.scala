@@ -38,7 +38,10 @@ object CfbReader {
     val numDifatSectors = header.getInt(72)
 
     def sectorBytes(sector: Int): Array[Byte] = {
-      val off = 512 + sector.toLong * sectorSize
+      // MS-CFB §2.1: sector n starts at (n+1)·sectorSize — the header
+      // occupies "sector -1". Identical to 512+n·512 for v3, but v4
+      // (4096 B sectors) pads the 512 B header to a full sector.
+      val off = (sector.toLong + 1) * sectorSize
       require(off + sectorSize <= bytes.length + sectorSize, s"sector $sector out of range")
       val end = math.min(off + sectorSize, bytes.length.toLong).toInt
       java.util.Arrays.copyOfRange(bytes, off.toInt, end)

@@ -11,8 +11,28 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object OlePropertySet {
 
+  private val VT_I2 = 2
   private val VT_LPSTR = 30
   private val VT_LPWSTR = 31
+
+  // MS-OLEPS §2.18.2: pid 1 is the code page for all 8-bit strings in
+  // the set. HWP commonly writes CP949.
+  private val PidCodePage = 1
+
+  private def charsetFor(codePage: Int): java.nio.charset.Charset = {
+    val name = codePage match {
+      case 949 => "x-windows-949"
+      case 1200 => "UTF-16LE"
+      case 65001 => "UTF-8"
+      case cp => s"windows-$cp"
+    }
+    try java.nio.charset.Charset.forName(name)
+    catch {
+      case _: Exception =>
+        try java.nio.charset.Charset.forName("x-windows-949")
+        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+    }
+  }
 
   // canonical SummaryInformation property ids
   val PidTitle = 2
@@ -31,6 +51,16 @@ object OlePropertySet {
       // first FMTID/offset pair sits at 28; the set offset at 28+16
       val setOffset = b.getInt(28 + 16)
       val numProps = b.getInt(setOffset + 4)
+      // First pass: the set's CodePage property (pid 1) governs how
+      // VT_LPSTR bytes are decoded — default CP949 (HWP's usual choice)
+      // when absent.
+      val codePage = (0 until numProps).collectFirst {
+        case i
+            if b.getInt(setOffset + 8 + i * 8) == PidCodePage &&
+              b.getInt(setOffset + b.getInt(setOffset + 12 + i * 8)) == VT_I2 =>
+          b.getShort(setOffset + b.getInt(setOffset + 12 + i * 8) + 4) & 0xffff
+      }
+      val lpstrCharset = charsetFor(codePage.getOrElse(949))
       (0 until numProps).flatMap { i =>
         val pid = b.getInt(setOffset + 8 + i * 8)
         val propOffset = setOffset + b.getInt(setOffset + 12 + i * 8)
@@ -46,7 +76,7 @@ object OlePropertySet {
           case VT_LPSTR =>
             val nBytes = b.getInt(propOffset + 4)
             if (nBytes <= 0) None
-            else Some(pid -> new String(stream, propOffset + 8, nBytes - 1, "UTF-8"))
+            else Some(pid -> new String(stream, propOffset + 8, nBytes - 1, lpstrCharset))
           case _ => None
         }
       }.toMap

@@ -64,6 +64,52 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.head.getDouble(3) == 1.0)
   }
 
+  test("simhash pairs = exhaustive Hamming scan at maxHamming=6 (pigeonhole banding)") {
+    import spark.implicits._
+    // Docs engineered to land at a spread of Hamming distances: shared
+    // base tokens with varying numbers of substitutions.
+    val mk = (subs: Int) =>
+      ((1 to (30 - subs)).map(i => s"base$i") ++ (1 to subs).map(i => s"alt${i}x")).mkString(" ")
+    val docs = (0 to 9).map(i => (i.toLong, mk(i)))
+    val df = docs.toDF("id", "text")
+    val maxHamming = 6
+
+    val got = Dedup.simHashPairs(df, "id", "text", maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // exhaustive truth: all pairs within maxHamming by direct signature scan
+    val sigs = df.select(col("id"), Dedup.simHash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= maxHamming
+    } yield (a, b, d)).toSet
+
+    assert(want.nonEmpty, "test fixture should produce at least one close pair")
+    assert(got == want)
+  }
+
+  test("simhash pairs complete at maxHamming=0 and maxHamming=63 band edges") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v")).toDF("id", "text")
+    val exactPairs = Dedup.simHashPairs(df, "id", "text", maxHamming = 0).collect()
+    assert(exactPairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // 64 single-bit bands must not crash or miss the identical pair
+    val wide = Dedup.simHashPairs(df, "id", "text", maxHamming = 63)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((1L, 2L)))
+  }
+
+  test("bitmap jaccard vocab fence throws loudly on misuse") {
+    import spark.implicits._
+    val df = (1 to 30).map(i => (i.toLong, "b", (1 to 10).map(j => s"tok${i}_$j").mkString(" ")))
+      .toDF("id", "block", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardBitmapPairs(df, "id", "text", "block", 0.9, maxVocab = 100).collect()
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("embedding near-dup finds same-direction vectors") {
     import spark.implicits._
     val v = Array.fill(8)(0.5f)
