@@ -373,13 +373,25 @@ object Dedup {
     * token hashes have bit i set. Single pass over the tokens per row
     * (a Column-expression formulation needs one aggregate traversal per
     * bit — 64× the work; measured 9.7s vs <1s at sf0.01).
-    * Token hash: two seeded MurmurHash3 32-bit halves — deterministic
-    * across JVMs and partitions.
+    * Token hash: first 8 bytes (big-endian) of MD5 over UTF-8 — an
+    * engine-portable hash, so the whole simhash pipeline can be
+    * replicated bit-for-bit by any engine with md5() (the DuckDB
+    * correctness oracle does exactly that); deterministic across JVMs
+    * and partitions. MD5 costs ~10× a murmur mix but is amortized to
+    * noise per row (tokens/row × ~100 ns).
     */
-  private def tokenHash64(t: String): Long = {
-    val hi = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-    val lo = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
-    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private[dedup] def tokenHash64(t: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
 
   def simHash(textCol: Column): Column = {

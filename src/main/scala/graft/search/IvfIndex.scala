@@ -96,7 +96,15 @@ object IvfIndex {
       k: Int,
       nprobe: Int = IndexConfig.default.nprobe,
       queryVecCol: String = "embedding",
-      corpusVecCol: String = "embedding"
+      corpusVecCol: String = "embedding",
+      // Rank on scores rounded to this many decimals (with neighbor_id
+      // tiebreak) — gives engine-independent, reproducible rankings when
+      // raw cosines differ only past the rounding grid.
+      scoreRounding: Option[Int] = None,
+      // Drop corpus rows whose id equals the query id BEFORE ranking —
+      // the usual self-match exclusion when querying a corpus with
+      // itself (must happen pre-window or it eats a rank slot).
+      excludeSelf: Boolean = false
   )(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val centDf = centroids.zipWithIndex
@@ -122,8 +130,12 @@ object IvfIndex {
       col(corpusVecCol).as("__cvec")
     )
     val w = Window.partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
-    c.join(qClusters, Seq("cluster_id"))
+    val joined = c.join(qClusters, Seq("cluster_id"))
+    val nonSelf = if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id")) else joined
+    val scored = nonSelf
       .withColumn("score", cosineSimilarity(col("__cvec"), col("__qvec")))
+    val graded = scoreRounding.fold(scored)(dp => scored.withColumn("score", round(col("score"), dp)))
+    graded
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
