@@ -4,7 +4,6 @@ import graft.model.EmbeddingConfig
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions.{col, udf}
 import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
-import scala.util.hashing.MurmurHash3
 
 /** Embedding surface (reference embeddings.py:32-48). The reference wraps
   * a SentenceTransformer; this build is zero-egress so the production
@@ -25,20 +24,34 @@ trait Embedder extends Serializable {
 }
 
 /** Deterministic feature-hashed char-3-gram embedder. Signed feature
-  * hashing (MurmurHash3, fixed seed) into `dim` buckets, then L2
-  * normalization (E3) so cosine ≡ dot product, matching the reference's
-  * normalize_embeddings=True contract (embeddings.py:36).
+  * hashing into `dim` buckets, then L2 normalization (E3) so cosine ≡
+  * dot product, matching the reference's normalize_embeddings=True
+  * contract (embeddings.py:36).
+  *
+  * The n-gram hash is the first 4 bytes (big-endian) of MD5 over UTF-8
+  * — engine-portable on purpose: any engine with md5() reproduces the
+  * signed value exactly, and because `dim` is a power of two,
+  * floorMod(signed, dim) == unsigned % dim, so the DuckDB correctness
+  * oracle rebuilds whole embeddings (and cosine top-k over them)
+  * bit-for-bit. Bucket counts are small integers, so the squared norm
+  * is exact and the normalized components are deterministic regardless
+  * of accumulation order. MD5 per n-gram costs ~10× a murmur mix; at
+  * ~one hash per character it is still noise next to any real model.
   */
-final class HashEmbedder(val dim: Int = 1024, ngram: Int = 3, seed: Int = 42)
+final class HashEmbedder(val dim: Int = 1024, ngram: Int = 3)
     extends Embedder {
+  require((dim & (dim - 1)) == 0, "dim must be a power of two (keeps the hash bucket engine-portable)")
 
   override def embed(text: String): Array[Float] = {
     val v = new Array[Float](dim)
     val s = "\u0002" + (if (text == null) "" else text.toLowerCase) + "\u0003"
+    val md = HashEmbedder.md5Local.get()
     var i = 0
     val n = s.length
     while (i + ngram <= n) {
-      val h = MurmurHash3.stringHash(s.substring(i, i + ngram), seed)
+      md.reset()
+      val d = md.digest(s.substring(i, i + ngram).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)
       val idx = math.floorMod(h, dim)
       v(idx) += (if ((h & Int.MinValue) == 0) 1f else -1f)
       i += 1
@@ -53,6 +66,13 @@ final class HashEmbedder(val dim: Int = 1024, ngram: Int = 3, seed: Int = 42)
       while (j < dim) { v(j) = (v(j) * inv).toFloat; j += 1 }
     }
     v
+  }
+}
+
+object HashEmbedder {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 }
 

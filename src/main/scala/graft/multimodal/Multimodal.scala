@@ -36,20 +36,34 @@ object Multimodal {
       (256 + math.floorMod(h, 1024), 256 + math.floorMod(h >> 10, 1024))
     }
 
-    /** ??? in a real build: image decode + CNN features. Here: seeded
-      * feature hash of the byte content, unit-normalized.
+    /** ??? in a real build: image decode + CNN features. Here: a
+      * feature hash of the sampled byte content, unit-normalized.
+      * The per-sample hash is the first 4 bytes of MD5 over the ASCII
+      * "index:byteValue" pair — engine-portable (like HashEmbedder), so
+      * the q_media_features DuckDB oracle reconstructs the entire
+      * feature vector from the payload bytes. `dim` must be a power of
+      * two so signed floorMod == unsigned %.
       */
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      require((dim & (dim - 1)) == 0, "dim must be a power of two (engine-portable bucketing)")
       val v = new Array[Float](dim)
+      val md = md5Local.get()
       var i = 0
       val step = math.max(1, bytes.length / 512)
       while (i < bytes.length) {
-        val h = MurmurHash3.orderedHash(Seq(bytes(i), i), 13)
+        md.reset()
+        val d = md.digest(s"$i:${bytes(i)}".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val h = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)
         v(math.floorMod(h, dim)) += (if ((h & 1) == 0) 1f else -1f)
         i += step
       }
       val n = math.sqrt(v.map(x => x.toDouble * x).sum)
       if (n > 0) v.map(x => (x / n).toFloat) else v
+    }
+
+    private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
     }
 
     /** Frame sampling stub: returns `n` deterministic frame offsets. */

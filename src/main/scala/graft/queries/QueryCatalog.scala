@@ -547,7 +547,7 @@ object QueryCatalog {
     * no string rebuilding happens — only boundary arithmetic. The merge
     * CTE then replays ChunkMerger's buffer scan verbatim.
     */
-  private def chunkOracle(finalSelect: String): String =
+  private val chunkCtes: String =
     raw"""WITH RECURSIVE
           doc AS (SELECT doc_id, source, text, length(text) AS n FROM documents),
           wpos AS (
@@ -611,7 +611,10 @@ object QueryCatalog {
                    CAST(floor((length(text) - length(regexp_replace(text, '[가-힣]', '', 'g'))) / 1.5
                         + length(regexp_replace(text, '[가-힣]', '', 'g')) / 4.0) AS INT) AS chunk_size_tokens,
                    substring(md5(coalesce(source, 'unknown') || '_' || chunk_index || '_' || substring(text, 1, 50)), 1, 12) AS chunk_id
-            FROM exploded)
+            FROM exploded)"""
+
+  private def chunkOracle(finalSelect: String): String =
+    chunkCtes + raw"""
           SELECT $finalSelect FROM enriched ORDER BY doc_id, chunk_index"""
 
   val qChunkRecursiveSql: String =
@@ -1196,9 +1199,14 @@ object QueryCatalog {
 
   /** Multimodal plumbing over driver tables: document text cast to a
     * binary payload column, then the batched media metadata + feature
-    * extraction stages, feeding straight into vector top-k — the full
-    * opaque-binary path exercised on real testdata (rows-only; codec
-    * stubs are deterministic, MultimodalSpec pins them).
+    * extraction stages — the full opaque-binary path exercised on real
+    * testdata. Oracled: the fake codec hashes with MD5 (see
+    * Multimodal.FakeCodec), so the DuckDB oracle reconstructs every
+    * 32-dim feature vector from the payload bytes. The array itself is
+    * emitted as scalars (the harness can't sort raw arrays): md5 over
+    * the 1e4-scaled INTEGER components — integer encoding on both
+    * engines, so no float-formatting divergence — plus their exact
+    * integer sum.
     */
   val qMediaFeatures: Q = (s, dir) => {
     import graft.multimodal.Multimodal
@@ -1206,19 +1214,48 @@ object QueryCatalog {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     val withMeta = Multimodal.withMediaMeta(docs, "payload", "text-as-binary")
     val featured = Multimodal.withMediaFeatures(withMeta, "payload", dim = 32)
+    val enc = transform(col("features"), x => round(x.cast("double") * 10000).cast("int"))
     featured.select(
       col("doc_id"),
       col("media_meta.size_bytes").as("size_bytes"),
-      // The raw array<float> is unsortable by the driver's rows-only
-      // harness (pandas lexsort can't hash ndarrays) — emit a stable
-      // scalar encoding instead: md5 over the 4-dp-rounded JSON plus a
-      // rounded sum as a human-auditable checksum.
-      md5(to_json(transform(col("features"), x => round(x.cast("double"), 4))))
-        .as("features_md5"),
-      round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x.cast("double")), 3)
-        .as("features_sum")
+      md5(concat_ws(",", transform(enc, _.cast("string")))).as("features_md5"),
+      aggregate(enc, lit(0L), (acc, x) => acc + x).as("features_isum")
     ).orderBy("doc_id")
   }
+
+  val qMediaFeaturesSql: String =
+    raw"""WITH b AS (
+            SELECT doc_id, text, length(text) AS n,
+                   greatest(1, length(text) // 512) AS step
+            FROM documents),
+          pos AS (
+            SELECT doc_id, unnest(range(0, n, step)) AS i, text FROM b),
+          hashed AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' ||
+                      CAST(ascii(substring(text, CAST(i + 1 AS INT), 1)) AS VARCHAR)), 1, 8))::UINTEGER AS u
+            FROM pos),
+          sparse AS (
+            SELECT doc_id, CAST(u % 32 AS INT) AS idx,
+                   CAST(sum(CASE WHEN u % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS cnt
+            FROM hashed GROUP BY 1, 2),
+          comps AS (
+            SELECT doc_id, idx,
+                   CAST(round(CAST(CAST(cnt / sqrt(sum(cnt * cnt) OVER (PARTITION BY doc_id)) AS FLOAT) AS DOUBLE) * 10000) AS INT) AS enc
+            FROM sparse),
+          vecs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 32), i ->
+                     CASE WHEN list_position(idxs, CAST(i AS INT)) > 0
+                          THEN encs[list_position(idxs, CAST(i AS INT))]
+                          ELSE 0 END) AS enc
+            FROM (SELECT doc_id, list(idx ORDER BY idx) AS idxs, list(enc ORDER BY idx) AS encs
+                  FROM comps GROUP BY doc_id))
+          SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS size_bytes,
+                 md5(array_to_string(list_transform(v.enc, x -> CAST(x AS VARCHAR)), ',')) AS features_md5,
+                 CAST(list_sum(v.enc) AS BIGINT) AS features_isum
+          FROM documents d JOIN vecs v USING (doc_id)
+          ORDER BY d.doc_id"""
 
   // ---------------------------------------------------------------
   // End-to-end pipeline (flagship spine; rows-only)
@@ -1229,6 +1266,15 @@ object QueryCatalog {
     * embed (E1, mapPartitions batches) → search top-5 for a text query
     * (Q1/Q6 shape). Everything stays distributed; the only collect is
     * the k-row result.
+    *
+    * Fully oracled: the DuckDB SQL replays the ENTIRE spine — the
+    * cleaning battery is a no-op on this corpus (single-spaced ASCII;
+    * the noisy-input q_clean_battery row proves the battery itself),
+    * language via the C14 CASE chain, chunking via the shared recursive
+    * CTE, K5 dedup via QUALIFY, and the embeddings are rebuilt
+    * bit-for-bit from the MD5 trigram hash (see HashEmbedder) before
+    * the cosine top-5. Green here means the whole pipeline, not just
+    * its stages, matches across engines.
     */
   val qPipelineE2E: Q = (s, dir) => {
     val docs = tbl(s, dir, "documents")
@@ -1249,6 +1295,68 @@ object QueryCatalog {
       .limit(5)
       .select("doc_id", "chunk_index", "chunk_id", "language", "score")
   }
+
+  val qPipelineE2ESql: String =
+    chunkCtes + raw""",
+          lang AS (
+            SELECT doc_id, CASE
+              WHEN total = 0 THEN 'korean'
+              WHEN kr / total > 0.10 THEN 'korean'
+              WHEN vi / total > 0.02 THEN 'vietnamese'
+              WHEN en / total > 0.30 THEN 'english'
+              WHEN kr / total >= vi / total AND kr / total >= en / total THEN 'korean'
+              WHEN vi / total >= en / total THEN 'vietnamese'
+              ELSE 'english' END AS language
+            FROM (SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS total,
+                   CAST(length(text) - length(regexp_replace(text, '[가-힣]', '', 'g')) AS DOUBLE) AS kr,
+                   CAST(length(text) - length(regexp_replace(text, '[ăâđêôơưĂÂĐÊÔƠƯàáảãạèéẻẽẹìíỉĩịòóỏõọùúủũụỳýỷỹỵ]', '', 'g')) AS DOUBLE) AS vi,
+                   CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS en
+                 FROM documents)),
+          deduped AS (
+            SELECT doc_id, chunk_index, chunk_id, text
+            FROM enriched
+            QUALIFY row_number() OVER (
+              PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+              ORDER BY doc_id, chunk_index) = 1),
+          corpus_text AS (
+            SELECT doc_id, chunk_index, chr(2) || lower(text) || chr(3) AS s FROM deduped
+            UNION ALL
+            SELECT -1, -1, chr(2) || lower('spark join order table') || chr(3)),
+          tri AS (
+            SELECT doc_id, chunk_index,
+                   unnest(list_transform(range(1, length(s) - 1), i -> substring(s, CAST(i AS INT), 3))) AS g
+            FROM corpus_text),
+          sparse AS (
+            SELECT doc_id, chunk_index,
+                   CAST((('0x' || substring(md5(g), 1, 8))::UINTEGER) % 64 AS INT) AS idx,
+                   CAST(sum(CASE WHEN ('0x' || substring(md5(g), 1, 8))::UINTEGER < 2147483648 THEN 1 ELSE -1 END) AS DOUBLE) AS cnt
+            FROM tri GROUP BY 1, 2, 3),
+          comps AS (
+            SELECT doc_id, chunk_index, idx,
+                   CAST(cnt * (1.0 / sqrt(sum(cnt * cnt) OVER (PARTITION BY doc_id, chunk_index))) AS FLOAT) AS val
+            FROM sparse),
+          vecs AS (
+            SELECT doc_id, chunk_index,
+                   list_transform(range(0, 64), i ->
+                     CASE WHEN list_position(idxs, CAST(i AS INT)) > 0
+                          THEN vals[list_position(idxs, CAST(i AS INT))]
+                          ELSE 0.0::FLOAT END)::DOUBLE[] AS v
+            FROM (SELECT doc_id, chunk_index,
+                         list(idx ORDER BY idx) AS idxs,
+                         list(val ORDER BY idx) AS vals
+                  FROM comps GROUP BY doc_id, chunk_index)),
+          qv AS (SELECT v FROM vecs WHERE doc_id = -1),
+          scored AS (
+            SELECT d.doc_id, d.chunk_index, d.chunk_id, l.language,
+                   round(list_dot_product(c.v, q.v)
+                         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 4) AS score
+            FROM deduped d
+            JOIN vecs c ON c.doc_id = d.doc_id AND c.chunk_index = d.chunk_index
+            JOIN lang l ON l.doc_id = d.doc_id
+            CROSS JOIN qv q)
+          SELECT doc_id, chunk_index, chunk_id, language, score
+          FROM scored ORDER BY score DESC, doc_id, chunk_index LIMIT 5"""
 
   // ---------------------------------------------------------------
   // Catalog
@@ -1341,6 +1449,8 @@ object QueryCatalog {
     "q_ivf_knn_join" -> qKnnJoinSql,
     "q_attr_query" -> qAttrQuerySql,
     "q_truncate_project" -> qTruncateProjectSql,
-    "q_collection_name" -> qCollectionNameSql
+    "q_collection_name" -> qCollectionNameSql,
+    "q_media_features" -> qMediaFeaturesSql,
+    "q_pipeline_e2e" -> qPipelineE2ESql
   )
 }
