@@ -43,7 +43,11 @@ object Pipeline {
         col("total_chunks"),
         col("chunk_size_chars"),
         col("chunk_size_tokens"),
-        col("collection")
+        col("collection"),
+        // dynamic-field overflow: empty on the typed path (Doc carries
+        // no ad-hoc keys); DataFrame callers with extra columns go
+        // through VectorStore.packDynamicFields / writeCollectionDynamic
+        typedLit(Map.empty[String, String]).as("extra")
       )
       .as[Chunk]
   }

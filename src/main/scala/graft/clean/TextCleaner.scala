@@ -113,24 +113,39 @@ object TextCleaner {
   private def replaceAll(c: Column, patterns: Seq[String], to: String, flags: String = ""): Column =
     patterns.foldLeft(c)((acc, p) => regexp_replace(acc, flags + p, to))
 
-  /** Full cleaning battery C1-C11, stage order as in clean_text
-    * (text_cleaner.py:166-224).
+  /** The full battery as ordered (pattern, replacement) stages — one
+    * flat list so it can run as a single [[graft.functions.RegexChain]]
+    * expression (44 nested regexp_replace calls are one unsplittable
+    * codegen expression that blows the 64 KB method limit and drops the
+    * whole stage to interpreted eval — measured 4× slower; see
+    * RegexChain's doc).
     */
-  def cleanText(text: Column): Column = {
-    var c = text
-    c = regexp_replace(c, HwpGarbagePattern, " ") // 0
-    c = regexp_replace(c, AllowedCharsPattern, " ") // 0.1
-    c = replaceAll(c, HwpNoisePatterns, " ") // 0.2
-    c = regexp_replace(c, HtmlTagPattern, " ") // 1
-    c = replaceAll(c, TemplateTagPatterns, "", "(?i)") // 2
-    c = replaceAll(c, JsPatterns, "", "(?i)") // 3
-    c = regexp_replace(c, EmojiPattern, "") // 4
-    c = replaceAll(c, HeaderFooterPatterns, "", "(?im)") // 5
-    c = regexp_replace(c, SpecialCharPattern, " ") // 6
-    c = whitespaceNormalize(c) // 7-8
-    c = lineTrimCollapse(c) // 9
-    coalesce(c, lit("")) // empty input → "" (text_cleaner.py:169)
-  }
+  val BatteryStages: Seq[(String, String)] =
+    Seq(HwpGarbagePattern -> " ", AllowedCharsPattern -> " ") ++ // C1, C2
+      HwpNoisePatterns.map(_ -> " ") ++ // C3
+      Seq(HtmlTagPattern -> " ") ++ // C4
+      TemplateTagPatterns.map(p => s"(?i)$p" -> "") ++ // C5
+      JsPatterns.map(p => s"(?i)$p" -> "") ++ // C6
+      Seq(EmojiPattern -> "") ++ // C7
+      HeaderFooterPatterns.map(p => s"(?im)$p" -> "") ++ // C8
+      Seq(
+        SpecialCharPattern -> " ", // C9
+        "[ \\t]+" -> " ", // C10
+        "\\n\\s*\\n" -> "\n\n",
+        "\\n{3,}" -> "\n\n",
+        "(?m)^[ \\t\\x0B\\f\\r]+|[ \\t\\x0B\\f\\r]+$" -> "", // C11
+        "\\n{3,}" -> "\n\n",
+        "^\\s+|\\s+$" -> ""
+      )
+
+  /** Full cleaning battery C1-C11, stage order as in clean_text
+    * (text_cleaner.py:166-224), fused into one codegen-friendly
+    * expression. Byte-identical to folding regexp_replace over
+    * [[BatteryStages]] (RegexChainSpec pins it; the 145 goldens and the
+    * noisy DuckDB oracle pin the semantics end-to-end).
+    */
+  def cleanText(text: Column): Column =
+    coalesce(graft.functions.RegexChain(text, BatteryStages), lit("")) // empty input → "" (text_cleaner.py:169)
 
   /** C10 — whitespace normalization (text_cleaner.py:203-207). */
   def whitespaceNormalize(c: Column): Column = {

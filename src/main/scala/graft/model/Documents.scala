@@ -27,5 +27,22 @@ final case class Chunk(
     total_chunks: Int,
     chunk_size_chars: Int,
     chunk_size_tokens: Int,
-    collection: String
+    collection: String,
+    /** Dynamic-field overflow (reference enable_dynamic_field=True,
+      * milvus_store.py:65; SURVEY §1.2): ad-hoc metadata keys that are
+      * not part of the fixed schema ride here, so callers never need a
+      * schema migration for one-off attributes.
+      */
+    extra: Map[String, String] = Map.empty
 )
+
+object Chunk {
+  /** The fixed (declared) schema; anything else spills into `extra` —
+    * see VectorStore.packDynamicFields.
+    */
+  val FixedFields: Seq[String] = Seq(
+    "chunk_id", "text", "embedding", "source", "filename", "language",
+    "chunk_index", "total_chunks", "chunk_size_chars", "chunk_size_tokens",
+    "collection"
+  )
+}

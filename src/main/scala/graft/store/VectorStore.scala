@@ -1,7 +1,7 @@
 package graft.store
 
 import graft.clean.TextCleaner
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Collection storage (reference milvus_store.py:78-234, SURVEY.md §2.1
@@ -84,6 +84,49 @@ final class VectorStore(root: String) {
   def dropCollection(collection: String): Unit =
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir(collection)))
 
+  /** S10 + dynamic field — write with the overflow map packed first. */
+  def writeCollectionDynamic(
+      df: DataFrame,
+      collection: String,
+      fixedCols: Seq[String] = graft.model.Chunk.FixedFields,
+      overwrite: Boolean = true
+  ): Unit =
+    writeCollection(VectorStore.packDynamicFields(df, fixedCols), collection, overwrite)
+
   def dropAll(): Unit =
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+}
+
+object VectorStore {
+
+  /** Dynamic-field overflow (reference `enable_dynamic_field=True`,
+    * milvus_store.py:65; SURVEY §1.2): every column OUTSIDE the fixed
+    * schema spills into one `extra: map<string,string>` column, so
+    * ad-hoc metadata survives the store round-trip with no schema
+    * migration. Null values are dropped from the map (absent key ==
+    * absent field — the reference's JSON-field semantics). Pure column
+    * expressions: the packing is codegen'd, no UDF, no shuffle.
+    */
+  def packDynamicFields(
+      df: DataFrame,
+      fixedCols: Seq[String],
+      extraCol: String = "extra"
+  ): DataFrame = {
+    val fixed = fixedCols.toSet
+    val dynamic = df.columns.filterNot(c => fixed.contains(c) || c == extraCol)
+    val m: Column =
+      if (dynamic.isEmpty) typedLit(Map.empty[String, String])
+      else
+        map_filter(
+          map(dynamic.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*),
+          (_, v) => v.isNotNull
+        )
+    df.withColumn(extraCol, m).drop(dynamic: _*)
+  }
+
+  /** Accessor for one dynamic field (null when absent) — the read-side
+    * counterpart of [[packDynamicFields]].
+    */
+  def dynamicField(key: String, extraCol: String = "extra"): Column =
+    element_at(col(extraCol), key)
 }

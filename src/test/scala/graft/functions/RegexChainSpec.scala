@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.clean.TextCleaner
+import org.apache.spark.sql.functions._
+
+class RegexChainSpec extends SparkTestBase {
+
+  test("RegexChain == left fold of regexp_replace over the same stages (battery parity)") {
+    import spark.implicits._
+    val samples = Seq(
+      "<div class='x'> plain words here </div> {{#t}}x{{/t}} http://a.com Copyright 2024",
+      "  leading  and   trailing   ",
+      "한글 텍스트 with MIXED content 123 {% if %} ${v} [[wiki]]",
+      "",
+      "line1\n\n\n\nline2\n  \nline3",
+      "no-noise lowercase text that should survive unchanged"
+    )
+    val df = samples.toDF("text")
+    val folded = TextCleaner.BatteryStages.foldLeft(col("text")) { case (acc, (p, r)) =>
+      regexp_replace(acc, p, r)
+    }
+    val rows = df
+      .select(
+        RegexChain(col("text"), TextCleaner.BatteryStages).as("chain"),
+        folded.as("fold")
+      )
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("RegexChain stays inside whole-stage codegen where the nested fold cannot") {
+    // spark.range gives a real (non-local) scan so the projection isn't
+    // constant-folded into a LocalTableScan before planning
+    val df = spark.range(4)
+      .select(RegexChain(concat(lit("text <b>x</b> n"), col("id").cast("string")), TextCleaner.BatteryStages).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd stages render as "*(n) Project ..." in the plan string
+    assert(plan.contains("*(1) Project"), s"expected codegen in:\n$plan")
+    assert(df.collect().forall(_.getString(0).nonEmpty))
+  }
+
+  test("null input stays null; cleanText coalesces to empty string") {
+    import spark.implicits._
+    val df = Seq[Option[String]](None, Some("x")).toDF("text")
+    val got = df.select(
+      RegexChain(col("text"), TextCleaner.BatteryStages).as("raw"),
+      TextCleaner.cleanText(col("text")).as("clean")
+    ).collect()
+    assert(got(0).isNullAt(0) && got(0).getString(1) == "")
+    assert(got(1).getString(0) == "x" && got(1).getString(1) == "x")
+  }
+}

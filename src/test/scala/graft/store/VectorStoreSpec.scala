@@ -86,4 +86,52 @@ class VectorStoreSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS bt_meta")
     }
   }
+
+  test("dynamic-field overflow: unknown metadata keys round-trip through the store (S10 + enable_dynamic_field)") {
+    import spark.implicits._
+    val store = new VectorStore(Files.createTempDirectory("graft-dyn").toString)
+    // fixed schema subset + three ad-hoc columns the schema never declared
+    val df = Seq(
+      ("c1", "hello world", "src1", Some("alice"), Some(3), "2026-01-01"),
+      ("c2", "more text", "src1", None, Some(7), "2026-01-02")
+    ).toDF("chunk_id", "text", "source", "author", "page", "ingested_at")
+
+    store.writeCollectionDynamic(df, "docs", fixedCols = Seq("chunk_id", "text", "source"))
+    val back = store.readCollection(spark, "docs")
+
+    // fixed columns intact, ad-hoc columns folded into one map column
+    assert(back.columns.sorted.toSeq == Seq("chunk_id", "extra", "source", "text"))
+    val rows = back
+      .select(
+        col("chunk_id"),
+        VectorStore.dynamicField("author"),
+        VectorStore.dynamicField("page"),
+        VectorStore.dynamicField("ingested_at"),
+        VectorStore.dynamicField("never_set")
+      )
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(rows("c1") == (("alice", "3", "2026-01-01", null)))
+    // null ad-hoc value = absent key (reference JSON-field semantics)
+    assert(rows("c2") == ((null, "7", "2026-01-02", null)))
+
+    // packing is a no-op when nothing overflows (still adds the empty map)
+    val packed = VectorStore.packDynamicFields(
+      Seq(("c3", "t")).toDF("chunk_id", "text"), Seq("chunk_id", "text"))
+    assert(packed.columns.toSeq == Seq("chunk_id", "text", "extra"))
+    assert(packed.select(size(col("extra"))).head().getInt(0) == 0)
+  }
+
+  test("typed Chunk rows carry the extra map through a store round-trip") {
+    import spark.implicits._
+    val store = new VectorStore(Files.createTempDirectory("graft-dyn2").toString)
+    val ds = Seq(
+      graft.model.Chunk("id1", "text", Array(1f, 0f), "s", "f", "en", 0, 1, 4, 1, "c",
+        extra = Map("k" -> "v"))
+    ).toDS()
+    store.writeCollection(ds.toDF(), "typed")
+    val back = store.readCollection(spark, "typed").as[graft.model.Chunk].head()
+    assert(back.extra == Map("k" -> "v"))
+  }
 }
