@@ -154,6 +154,44 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination: find corpus documents that CONTAIN a
+    * large share of an eval-set item's n-grams — the asymmetric overlap
+    * (|corpus ∩ bench| / |bench|) used to scrub test-set leakage from
+    * training corpora (the n-gram-overlap decontamination procedure
+    * described in public LM reports). Same inverted-index shape as
+    * [[ngramJaccardPairs]]: explode distinct n-grams, equi-join on the
+    * gram (long n-grams — 8+ tokens — are near-unique, so the gram key
+    * is itself the blocker; no quadratic pair formation), count shared
+    * grams per (corpus, bench) pair, divide by the BENCH side's gram
+    * count. Benchmark side is typically tiny → its gram index
+    * broadcasts; corpus side streams.
+    */
+  def containmentPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    def grams(df: DataFrame, asId: String) =
+      df.select(col(idCol).as(asId), array_distinct(shingles(col(textCol), n)).as("gs"))
+    val c = grams(corpus, "doc_id")
+    val b = grams(benchmark, "bench_id")
+    val bSizes = b.select(col("bench_id"), size(col("gs")).as("bench_sz"))
+    val cEx = c.select(col("doc_id"), explode(col("gs")).as("g"))
+    val bEx = b.select(col("bench_id"), explode(col("gs")).as("g"))
+    cEx
+      .join(broadcast(bEx), Seq("g"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(bSizes), Seq("bench_id"))
+      .withColumn("containment", col("inter").cast("double") / col("bench_sz").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_id", "bench_id", "containment")
+  }
+
   /** Exact Jaccard over two (distinct-element) array columns. */
   def jaccardExpr(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -915,6 +915,144 @@ object QueryCatalog {
     """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
        FROM documents ORDER BY doc_id"""
 
+  /** Benchmark decontamination over the corpus: every 50th document
+    * stands in for an eval set; corpus docs containing ≥ half of a
+    * "benchmark" item's distinct 8-gram shingles are flagged. Oracle:
+    * exhaustive list_intersect containment in DuckDB.
+    */
+  val qDecontaminate: Q = (s, dir) => {
+    val docs = rebalanced(tbl(s, dir, "documents"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    Dedup
+      .containmentPairs(docs, bench, "doc_id", "text", n = 8, threshold = 0.5)
+      .select(col("doc_id"), col("bench_id"), round(col("containment"), 6).as("containment"))
+  }
+
+  val qDecontaminateSql: String =
+    raw"""WITH tokens AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+            FROM documents),
+          sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(range(1, len(toks) - 6),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                               toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]) END) AS s
+            FROM tokens)
+          SELECT c.doc_id, b.doc_id AS bench_id,
+                 round(len(list_intersect(c.s, b.s)) * 1.0 / len(b.s), 6) AS containment
+          FROM sh c JOIN sh b ON b.doc_id % 50 = 0 AND c.doc_id <> b.doc_id
+          WHERE len(list_intersect(c.s, b.s)) * 1.0 / len(b.s) >= 0.5
+          ORDER BY c.doc_id, bench_id"""
+
+  /** Gopher-style repetition features + keep decision per document.
+    * Every fraction is an exact integer ratio rounded at 6 dp, so the
+    * DuckDB oracle rebuilds all five measures from scratch (line
+    * grouping + n-gram grouping per doc) and must agree bit-for-bit.
+    */
+  val qRepetition: Q = (s, dir) =>
+    rebalanced(tbl(s, dir, "documents"))
+      .select(col("doc_id"), graft.text.RepetitionStats.repetitionFeatures(col("text")).as("f"))
+      .select(
+        col("doc_id"),
+        col("f.dup_line_frac").as("dup_line_frac"),
+        col("f.dup_line_char_frac").as("dup_line_char_frac"),
+        col("f.top2gram_char_frac").as("top2gram_char_frac"),
+        col("f.top3gram_char_frac").as("top3gram_char_frac"),
+        col("f.dup5gram_char_frac").as("dup5gram_char_frac"),
+        graft.text.RepetitionStats.keepByRepetition(col("f")).as("keep")
+      )
+
+  val qRepetitionSql: String =
+    raw"""WITH doc_lines AS (
+            SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+            FROM documents),
+          lgrp AS (
+            SELECT doc_id, line, count(*) AS c FROM (SELECT doc_id, unnest(ls) AS line FROM doc_lines) GROUP BY 1, 2),
+          lstats AS (
+            SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+                   sum(length(line) * c) AS total_line_chars,
+                   sum(CASE WHEN c > 1 THEN length(line) * (c - 1) ELSE 0 END) AS dup_line_chars
+            FROM lgrp GROUP BY 1),
+          tokens AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+            FROM documents),
+          tstats AS (
+            SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0 ELSE length(array_to_string(toks, ' ')) END AS total_chars
+            FROM tokens),
+          g2c AS (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM tokens) GROUP BY 1, 2),
+          top2 AS (
+            SELECT doc_id, c * length(g) AS chars FROM g2c
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+          g3c AS (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+              FROM tokens) GROUP BY 1, 2),
+          top3 AS (
+            SELECT doc_id, c * length(g) AS chars FROM g3c
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+          g5c AS (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+              FROM tokens) GROUP BY 1, 2),
+          dup5 AS (
+            SELECT doc_id, sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS chars FROM g5c GROUP BY 1),
+          m AS (
+            SELECT d.doc_id,
+              CASE WHEN l.n_lines = 0 THEN 0.0 ELSE (l.n_lines - l.n_distinct) * 1.0 / l.n_lines END AS dlf,
+              CASE WHEN l.total_line_chars = 0 THEN 0.0 ELSE l.dup_line_chars * 1.0 / l.total_line_chars END AS dlcf,
+              CASE WHEN t.total_chars = 0 THEN 0.0 ELSE coalesce(t2.chars, 0) * 1.0 / t.total_chars END AS t2f,
+              CASE WHEN t.total_chars = 0 THEN 0.0 ELSE coalesce(t3.chars, 0) * 1.0 / t.total_chars END AS t3f,
+              CASE WHEN t.total_chars = 0 THEN 0.0 ELSE least(1.0, coalesce(d5.chars, 0) * 1.0 / t.total_chars) END AS d5f
+            FROM documents d
+            LEFT JOIN lstats l USING (doc_id)
+            LEFT JOIN tstats t USING (doc_id)
+            LEFT JOIN top2 t2 USING (doc_id)
+            LEFT JOIN top3 t3 USING (doc_id)
+            LEFT JOIN dup5 d5 USING (doc_id))
+          SELECT doc_id,
+                 round(dlf, 6) AS dup_line_frac,
+                 round(dlcf, 6) AS dup_line_char_frac,
+                 round(t2f, 6) AS top2gram_char_frac,
+                 round(t3f, 6) AS top3gram_char_frac,
+                 round(d5f, 6) AS dup5gram_char_frac,
+                 (round(dlf, 6) <= 0.3 AND round(t2f, 6) <= 0.2 AND round(d5f, 6) <= 0.15) AS keep
+          FROM m ORDER BY doc_id"""
+
+  /** PII noise appended to every doc so the scrubber has real work in
+    * both engines: email, international + domestic phone shapes, IPv4,
+    * card-shaped digit run. Entities separated by words (not a single
+    * space) — the lookaround-free guard classes consume one adjacent
+    * char, so back-to-back entities are a documented non-goal.
+    */
+  private val PiiNoiseSuffix: String =
+    " contact john.doe@example.com or +82 10-1234-5678 backup 010 1234 5678 ip 192.168.0.1 card 1234-5678-9012-3456 done"
+
+  /** PII redaction over noisy corpus text — scrub BEFORE fingerprint so
+    * redaction never splits identical docs (the operator-order contract
+    * PiiScrub documents). Oracle replays the same lookaround-free
+    * stages under RE2.
+    */
+  val qPiiScrub: Q = (s, dir) =>
+    rebalanced(tbl(s, dir, "documents"))
+      .select(
+        col("doc_id"),
+        graft.text.PiiScrub.scrub(concat(col("text"), lit(PiiNoiseSuffix))).as("scrubbed"),
+        TextAnalysis.fingerprintMd5(graft.text.PiiScrub.scrub(concat(col("text"), lit(PiiNoiseSuffix))))
+          .as("scrubbed_fingerprint")
+      )
+
+  val qPiiScrubSql: String = {
+    val noisy = "(text || ' contact john.doe@example.com or +82 10-1234-5678 backup 010 1234 5678 ip 192.168.0.1 card 1234-5678-9012-3456 done')"
+    val scrub = graft.text.PiiScrub.scrubSql(noisy)
+    s"""SELECT doc_id, $scrub AS scrubbed,
+        md5(trim(regexp_replace(lower($scrub), '\\s+', ' ', 'g'))) AS scrubbed_fingerprint
+        FROM documents ORDER BY doc_id"""
+  }
+
   /** Heuristic n-gram/script language ID, with the full CASE chain
     * (script ratios then Latin common-word argmax order) replicated in
     * the DuckDB oracle — every branch is encoded, not just the ones this
@@ -1390,6 +1528,9 @@ object QueryCatalog {
     "q_quality_score" -> qQualityScore,
     "q_fingerprint" -> qFingerprint,
     "q_langid_ngram" -> qLangIdNgram,
+    "q_pii_scrub" -> qPiiScrub,
+    "q_repetition" -> qRepetition,
+    "q_decontaminate" -> qDecontaminate,
     "q_ann_topk" -> qAnnTopK,
     "q_ann_topk_filtered" -> qAnnTopKFiltered,
     "q_multi_collection" -> qMultiCollection,
@@ -1429,6 +1570,9 @@ object QueryCatalog {
     "q_minhash_lsh" -> qMinHashLshSql,
     "q_simhash" -> qSimHashSql,
     "q_langid_ngram" -> qLangIdNgramSql,
+    "q_pii_scrub" -> qPiiScrubSql,
+    "q_repetition" -> qRepetitionSql,
+    "q_decontaminate" -> qDecontaminateSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_lang_dist" -> qLangDistSql,
     "q_top_users" -> qTopUsersSql,

@@ -1,0 +1,55 @@
+package graft.text
+
+import graft.functions.RegexChain
+import org.apache.spark.sql.Column
+
+/** PII redaction for training corpora: emails, phone numbers, IPv4
+  * addresses, and card-shaped digit runs are replaced with stable
+  * placeholder tokens BEFORE any content-addressing (dedup hashes,
+  * fingerprints), so redaction never splits otherwise-identical
+  * documents. Patterns avoid lookarounds on purpose — they must run
+  * identically under Java regex (Spark) and RE2 (the DuckDB oracle),
+  * and RE2 has none; digit-adjacency guards use a captured prefix
+  * class with a backreference in the replacement instead.
+  *
+  * Runs as a single [[RegexChain]] expression: codegen-friendly, one
+  * string materialization per row, pattern compilation hoisted per
+  * executor (see RegexChain's doc for why chained regexp_replace is
+  * the wrong shape past a few stages).
+  */
+object PiiScrub {
+
+  /** (pattern, replacement) stages, order observable: cards before
+    * phones (a 16-digit card would otherwise half-match the phone
+    * shape), emails before IPs (domain literals).
+    */
+  val Stages: Seq[(String, String)] = Seq(
+    // email first: user@host swallows digits that later stages might eat
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    // 13-19 digit card runs with optional -/space group separators
+    "(^|[^0-9])[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{1,7}($|[^0-9])" -> "$1<CARD>$2",
+    // international/domestic phone shapes: 010-1234-5678, +82 10 1234 5678, (02) 123-4567
+    "(^|[^0-9])\\+?[0-9]{1,3}[- .]?\\(?[0-9]{2,4}\\)?[- .][0-9]{3,4}[- .][0-9]{4}($|[^0-9])" -> "$1<PHONE>$2",
+    // IPv4
+    "(^|[^0-9.])([0-9]{1,3}\\.){3}[0-9]{1,3}($|[^0-9.])" -> "$1<IP>$3"
+  )
+
+  /** Redact PII in a string column. */
+  def scrub(text: Column): Column = RegexChain(text, Stages)
+
+  /** The same stages as DuckDB SQL over `input` — RE2 backreferences
+    * are `\1`, otherwise the patterns are shared verbatim. Kept next to
+    * the Scala stages so they cannot drift apart silently.
+    */
+  def scrubSql(input: String): String = {
+    val duck = Seq(
+      ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      ("(^|[^0-9])[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{1,7}($|[^0-9])", "\\1<CARD>\\2"),
+      ("(^|[^0-9])\\+?[0-9]{1,3}[- .]?\\(?[0-9]{2,4}\\)?[- .][0-9]{3,4}[- .][0-9]{4}($|[^0-9])", "\\1<PHONE>\\2"),
+      ("(^|[^0-9.])([0-9]{1,3}\\.){3}[0-9]{1,3}($|[^0-9.])", "\\1<IP>\\3")
+    )
+    duck.foldLeft(input) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Intra-document repetition measures for training-data quality
+  * filtering — the public Gopher/MassiveText-style signals (duplicate
+  * line fraction, top-n-gram character fraction, duplicate-n-gram
+  * character fraction) used to drop boilerplate-heavy and
+  * template-generated documents before training.
+  *
+  * One fused UDF pass per document (the same rationale as the simhash /
+  * minhash signatures: per-doc hash-map counting in N passes of Column
+  * HOFs is 10-100× the cost of one Scala pass — measured on the other
+  * signature ops; the memory note pins it). All counts are integers and
+  * every fraction is a single exact integer division rounded at 6 dp,
+  * so the DuckDB oracle reproduces values bit-for-bit.
+  *
+  * Definitions (deterministic, engine-portable):
+  *  - tokens = lowercase, split on whitespace, empties dropped;
+  *    n-grams are token slices joined with single spaces.
+  *  - dup_line_frac       = (lines - distinct lines) / lines over
+  *    non-empty lines.
+  *  - dup_line_char_frac  = Σ len(line)·(count-1) / Σ len(line)·count
+  *    over distinct non-empty lines (chars in repeats beyond first).
+  *  - top{N}gram_char_frac = count(top) · len(top) / len(normalized
+  *    text), top = most frequent N-gram, ties broken lexicographically.
+  *  - dup{N}gram_char_frac = min(1, Σ count·len over N-grams with
+  *    count > 1 / len(normalized text)).
+  */
+object RepetitionStats {
+
+  private[text] def tokensOf(s: String): Array[String] =
+    s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  private[text] def ngramCounts(toks: Array[String], n: Int): scala.collection.mutable.Map[String, Int] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Int]
+    var i = 0
+    while (i + n <= toks.length) {
+      val g = toks.slice(i, i + n).mkString(" ")
+      m.update(g, m.getOrElse(g, 0) + 1)
+      i += 1
+    }
+    m
+  }
+
+  /** (dupLineFrac, dupLineCharFrac, top2, top3, dup5) — see object doc. */
+  private[text] def compute(text: String): (Double, Double, Double, Double, Double) = {
+    if (text == null) return (0.0, 0.0, 0.0, 0.0, 0.0)
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    val lineCounts = lines.groupBy(identity).view.mapValues(_.length)
+    val nLines = lines.length
+    val dupLineFrac =
+      if (nLines == 0) 0.0 else (nLines - lineCounts.size).toDouble / nLines
+    val totalLineChars = lineCounts.iterator.map { case (l, c) => l.length.toLong * c }.sum
+    val dupLineChars = lineCounts.iterator.collect { case (l, c) if c > 1 => l.length.toLong * (c - 1) }.sum
+    val dupLineCharFrac = if (totalLineChars == 0) 0.0 else dupLineChars.toDouble / totalLineChars
+
+    val toks = tokensOf(text)
+    val totalChars = if (toks.isEmpty) 0 else toks.map(_.length).sum + toks.length - 1
+
+    def topFrac(n: Int): Double = {
+      if (totalChars == 0) return 0.0
+      val m = ngramCounts(toks, n)
+      if (m.isEmpty) return 0.0
+      val maxC = m.valuesIterator.max
+      val top = m.iterator.filter(_._2 == maxC).map(_._1).min
+      maxC.toLong * top.length / totalChars.toDouble
+    }
+
+    def dupFrac(n: Int): Double = {
+      if (totalChars == 0) return 0.0
+      val m = ngramCounts(toks, n)
+      val s = m.iterator.collect { case (g, c) if c > 1 => c.toLong * g.length }.sum
+      math.min(1.0, s.toDouble / totalChars)
+    }
+
+    (dupLineFrac, dupLineCharFrac, topFrac(2), topFrac(3), dupFrac(5))
+  }
+
+  /** Struct column of the five measures, each rounded to 6 dp. Marked
+    * non-deterministic (pure) to stop optimizer duplication — same
+    * rationale as Chunker.chunksArray.
+    */
+  def repetitionFeatures(text: Column): Column = {
+    val f = udf { (s: String) =>
+      val (a, b, c, d, e) = compute(s)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(a), r6(b), r6(c), r6(d), r6(e))
+    }.asNondeterministic()
+    f(text).cast(
+      "struct<dup_line_frac:double,dup_line_char_frac:double," +
+        "top2gram_char_frac:double,top3gram_char_frac:double,dup5gram_char_frac:double>"
+    )
+  }
+
+  /** Gopher-ish keep predicate over the feature struct. */
+  def keepByRepetition(
+      features: Column,
+      maxDupLineFrac: Double = 0.3,
+      maxTop2Frac: Double = 0.2,
+      maxDup5Frac: Double = 0.15
+  ): Column =
+    features.getField("dup_line_frac") <= maxDupLineFrac &&
+      features.getField("top2gram_char_frac") <= maxTop2Frac &&
+      features.getField("dup5gram_char_frac") <= maxDup5Frac
+}

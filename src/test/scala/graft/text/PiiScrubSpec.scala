@@ -1,0 +1,44 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PiiScrubSpec extends SparkTestBase {
+
+  private def scrubOne(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(PiiScrub.scrub(col("t"))).head().getString(0)
+  }
+
+  test("redacts emails, phones, IPs, and card runs with stable placeholders") {
+    assert(scrubOne("mail me at a.b-c_1@sub.example.co today") == "mail me at <EMAIL> today")
+    assert(scrubOne("call +82 10-1234-5678 now") == "call <PHONE> now")
+    assert(scrubOne("call 010 1234 5678 now") == "call <PHONE> now")
+    assert(scrubOne("host 192.168.0.1 up") == "host <IP> up")
+    assert(scrubOne("pay 1234-5678-9012-3456 thanks") == "pay <CARD> thanks")
+  }
+
+  test("does not fire on plain prose, versions, or short digit runs") {
+    for (
+      s <- Seq(
+        "release v1.2.3 of the lib",       // 3-part version, guarded by [^0-9.]
+        "totals 12 34 and 567",            // too-short digit groups
+        "the quick brown fox",
+        "year 2024 month 12"
+      )
+    ) assert(scrubOne(s) == s, s)
+  }
+
+  test("scrub-then-fingerprint collapses docs that differ only in PII") {
+    import spark.implicits._
+    val df = Seq(
+      "report sent to alice@corp.example yesterday",
+      "report sent to bob.roberts@other.example yesterday"
+    ).toDF("t")
+    val prints = df
+      .select(TextAnalysis.fingerprintMd5(PiiScrub.scrub(col("t"))).as("fp"))
+      .distinct()
+      .count()
+    assert(prints == 1L)
+  }
+}
