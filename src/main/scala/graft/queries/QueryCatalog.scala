@@ -869,20 +869,23 @@ object QueryCatalog {
   // Text analysis (training-data ops)
   // ---------------------------------------------------------------
 
+  /** Single-pass quality analysis (see TextAnalysis.withQualityAnalysis:
+    * the two-expression formulation re-tokenized ~6×/row — 16 s at sf0.1
+    * in the round-2 driver bench; the staged transform is one pass).
+    */
   val qQualityScore: Q = (s, dir) =>
-    rebalanced(tbl(s, dir, "documents"))
-      .select(
-        col("doc_id"),
-        TextAnalysis.qualityFeatures(col("text")).as("f"),
-        TextAnalysis.qualityScore(col("text")).as("quality_score")
+    TextAnalysis
+      .withQualityAnalysis(
+        rebalanced(tbl(s, dir, "documents")).select("doc_id", "text"),
+        "text"
       )
       .select(
         col("doc_id"),
-        col("f.n_chars").as("n_chars"),
-        col("f.n_tokens").as("n_tokens"),
-        col("f.stopword_ratio").as("stopword_ratio"),
-        col("f.punct_ratio").as("punct_ratio"),
-        col("f.alpha_ratio").as("alpha_ratio"),
+        col("n_chars"),
+        col("n_tokens"),
+        col("stopword_ratio"),
+        col("punct_ratio"),
+        col("alpha_ratio"),
         col("quality_score")
       )
 

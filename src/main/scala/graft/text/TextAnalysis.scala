@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -81,6 +81,54 @@ object TextAnalysis {
     val stopScore = least(stopRatio * 5.0, lit(1.0))
     val wlScore = when(avgWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
     round((lenScore + stopScore + alphaRatio + wlScore) / 4.0, 4)
+  }
+
+  /** All quality features plus the composite score in ONE tokenization
+    * pass, as a DataFrame transform. Projecting [[qualityFeatures]] and
+    * [[qualityScore]] side by side rebuilds the token array (split +
+    * non-empty filter + stopword scan) as independent expression trees
+    * ~6× per row, and lambda-HOF subtrees largely miss codegen
+    * subexpression elimination — measured 16 s at sf0.1 in the round-2
+    * driver bench. Staged projections fix this structurally: since
+    * SPARK-36718, CollapseProject refuses to inline a non-cheap
+    * expression that is referenced more than once, so the token array
+    * and each regex counter are evaluated exactly once per row and
+    * every downstream ratio/score is plain arithmetic over the shared
+    * counters. Formulas are identical to [[qualityFeatures]] /
+    * [[qualityScore]] — bit-identical output (asserted in
+    * TextAnalysisSpec).
+    *
+    * Appends: n_chars, n_tokens, stopword_ratio, punct_ratio,
+    * alpha_ratio, avg_word_len, quality_score.
+    */
+  def withQualityAnalysis(df: DataFrame, textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val counters = df
+      .withColumn("__toks", filter(split(lower(txt), "\\s+"), t => length(t) > 0))
+      .withColumn("__n_chars", length(txt))
+      .withColumn("__n_punct", countMatching(txt, "[.,;:!?]"))
+      .withColumn("__n_alpha", countMatching(txt, "(?U)[\\p{L}]"))
+      .withColumn("__n_tokens", size(col("__toks")))
+      .withColumn("__n_stop", size(filter(col("__toks"), t => t.isInCollection(EnglishStopwords))))
+    val nChars = col("__n_chars")
+    val nToks = col("__n_tokens")
+    val nStop = col("__n_stop")
+    // raw (unrounded) ratios feed the score, exactly as qualityScore does
+    val stopRatioRaw = when(nToks === 0, 0.0).otherwise(nStop.cast("double") / nToks)
+    val alphaRatioRaw = when(nChars === 0, 0.0).otherwise(col("__n_alpha").cast("double") / nChars)
+    val avgWordLenRaw = when(nToks === 0, 0.0).otherwise((nChars - nToks + 1).cast("double") / nToks)
+    val lenScore = least(nToks.cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopRatioRaw * 5.0, lit(1.0))
+    val wlScore = when(avgWordLenRaw.between(3.0, 10.0), 1.0).otherwise(0.5)
+    counters
+      .withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nToks)
+      .withColumn("stopword_ratio", when(nToks === 0, 0.0).otherwise(round(nStop.cast("double") / nToks, 6)))
+      .withColumn("punct_ratio", when(nChars === 0, 0.0).otherwise(round(col("__n_punct").cast("double") / nChars, 6)))
+      .withColumn("alpha_ratio", when(nChars === 0, 0.0).otherwise(round(col("__n_alpha").cast("double") / nChars, 6)))
+      .withColumn("avg_word_len", when(nToks === 0, 0.0).otherwise(round((nChars - nToks + 1).cast("double") / nToks, 6)))
+      .withColumn("quality_score", round((lenScore + stopScore + alphaRatioRaw + wlScore) / 4.0, 4))
+      .drop("__toks", "__n_chars", "__n_punct", "__n_alpha", "__n_tokens", "__n_stop")
   }
 
   /** Language ID via character n-gram profile heuristics — the

@@ -53,6 +53,39 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows(0).getString(0) != rows(2).getString(0))
   }
 
+  test("withQualityAnalysis matches the two-expression formulation bit-for-bit") {
+    import spark.implicits._
+    val docs = Seq(
+      "the cat sat on the mat and it was a good day for all of us",
+      "@@@@ #### $$$$ %%%%",
+      "", "   ", "one",
+      "Punctuation, everywhere; truly: everywhere! Right?",
+      "한국어 텍스트와 english mixed 문서 the and of"
+    ).zipWithIndex.map(_.swap).toDF("id", "t")
+    val fused = TextAnalysis
+      .withQualityAnalysis(docs, "t")
+      .select("id", "n_chars", "n_tokens", "stopword_ratio", "punct_ratio", "alpha_ratio", "avg_word_len", "quality_score")
+    val twoExpr = docs
+      .select(
+        col("id"),
+        TextAnalysis.qualityFeatures(col("t")).as("f"),
+        TextAnalysis.qualityScore(col("t")).as("quality_score")
+      )
+      .select(
+        col("id"),
+        col("f.n_chars").as("n_chars"),
+        col("f.n_tokens").as("n_tokens"),
+        col("f.stopword_ratio").as("stopword_ratio"),
+        col("f.punct_ratio").as("punct_ratio"),
+        col("f.alpha_ratio").as("alpha_ratio"),
+        col("f.avg_word_len").as("avg_word_len"),
+        col("quality_score")
+      )
+    val a = fused.orderBy("id").collect().toSeq
+    val b = twoExpr.orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("quality score is in [0,1] and rewards fluent prose") {
     import spark.implicits._
     val prose = "the cat sat on the mat and it was a good day for all of us in the house"
