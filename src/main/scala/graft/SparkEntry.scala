@@ -19,6 +19,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueryCatalog.queries
 
+  /** Load-side preparation (IVF index build + cache) for a
+    * scale-factor dir — the work the reference does at insert time.
+    * Benchmarks run this before the timing loop.
+    */
+  def prepare(spark: SparkSession, sfDir: String): Unit =
+    QueryCatalog.prepare(spark, sfDir)
+
   /** DuckDB-equivalent SQL for every SQL-expressible query; the
     * remainder (hash-seeded MinHash/SimHash, KMeans IVF, the recursive
     * chunker, the end-to-end pipeline) get rows-only checks and are

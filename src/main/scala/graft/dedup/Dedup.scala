@@ -47,6 +47,40 @@ object Dedup {
       )
   }
 
+  /** Distinct word n-grams in ONE fused pass (UDF). Same universe as
+    * `array_distinct(shingles(...))` — including the fewer-than-n-tokens
+    * case (single space-joined shingle; [""] for empty/null docs) — but
+    * without the HOF transform/slice/concat_ws pipeline, which
+    * materializes an intermediate array per shingle (the shape that cost
+    * ~8 s of q_decontaminate at sf0.1; same lesson as the MinHash
+    * signature builder above). Marked nondeterministic so the optimizer
+    * never duplicates it into inferred filters under a later explode
+    * (InferFiltersFromGenerate).
+    */
+  def distinctShingles(textCol: Column, n: Int): Column = {
+    val f = udf { (text: String) =>
+      val toks =
+        if (text == null) Array.empty[String]
+        else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Seq(toks.mkString(" "))
+      else {
+        val seen = new java.util.LinkedHashSet[String]
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq
+      }
+    }
+    f.asNondeterministic()(textCol)
+  }
+
   /** Tokenize + shingle, as a plain Scala function shared by the
     * signature builder and the candidate verifier so both see the
     * exact same shingle universe.
@@ -175,7 +209,7 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     def grams(df: DataFrame, asId: String) =
-      df.select(col(idCol).as(asId), array_distinct(shingles(col(textCol), n)).as("gs"))
+      df.select(col(idCol).as(asId), distinctShingles(col(textCol), n).as("gs"))
     val c = grams(corpus, "doc_id")
     val b = grams(benchmark, "bench_id")
     val bSizes = b.select(col("bench_id"), size(col("gs")).as("bench_sz"))
@@ -344,16 +378,19 @@ object Dedup {
         org.apache.spark.sql.types.StructField("tid", org.apache.spark.sql.types.IntegerType)
       ))
     )
-    val vocab = dict.count().toInt // one small job, like an index build
+    val vocabLong = dict.count() // one small job, like an index build
     // The whole design (broadcast dict, per-row vocab-width bitmaps)
     // assumes a closed vocabulary. Fail loudly on misuse instead of
     // melting down slowly — open vocabularies belong to
     // ngramJaccardPairs / prefixJaccardPairs / minHashLshPairs.
+    // Fence on the Long count BEFORE any Int narrowing: a >2^31 token
+    // vocabulary must trip the require, not wrap around it.
     require(
-      vocab <= maxVocab,
-      s"jaccardBitmapPairs: vocabulary $vocab exceeds maxVocab=$maxVocab — " +
+      vocabLong <= maxVocab,
+      s"jaccardBitmapPairs: vocabulary $vocabLong exceeds maxVocab=$maxVocab — " +
         "use ngramJaccardPairs/prefixJaccardPairs/minHashLshPairs for open vocabularies"
     )
+    val vocab = vocabLong.toInt
     val ex = t
       .select(col("id"), col("block"), explode(col("toks")).as("token"))
       .join(broadcast(dict), Seq("token"))

@@ -2,7 +2,6 @@ package graft.quality
 
 import graft.model.QualityGates
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Quality/distribution aggregations (reference quality_monitor.py,
@@ -46,13 +45,18 @@ object QualityMonitor {
 
   /** G5 — language distribution, most-common-first (quality_monitor.py:86-90). */
   def languageDistribution(df: DataFrame, langCol: String): DataFrame = {
-    // group counts first, then a whole-frame window over the (tiny)
-    // aggregated result to derive percentages — the window sees only
-    // #distinct-languages rows, never the raw data
-    val total = sum(col("count")).over(Window.partitionBy())
-    df.groupBy(col(langCol))
-      .count()
-      .withColumn("pct", round(col("count") * 100.0 / total, 4))
+    // group counts first, then join the (tiny) per-language counts to
+    // their one-row grand total for percentages — a broadcast
+    // nested-loop join of #languages × 1 rows, instead of an
+    // unpartitioned window (which plans a single-partition WindowExec
+    // and logs a scary everything-to-one-task warning even though the
+    // input here is already aggregated)
+    val counts = df.groupBy(col(langCol)).count()
+    val total = counts.agg(sum(col("count")).as("__total"))
+    counts
+      .crossJoin(broadcast(total))
+      .withColumn("pct", round(col("count") * 100.0 / col("__total"), 4))
+      .drop("__total")
       .orderBy(desc("count"), col(langCol))
   }
 
