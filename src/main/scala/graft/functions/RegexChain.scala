@@ -29,9 +29,11 @@ final case class RegexStage(pattern: String, replacement: String)
   * Java String once per row for all stages.
   *
   * Semantics are EXACTLY the left fold of `regexp_replace(…)` over the
-  * stages (RegexChainSpec pins the equivalence); replacements here never
-  * use `$n` group references, so `replaceAll`'s replacement parsing
-  * cannot diverge.
+  * stages (RegexChainSpec pins the equivalence). Replacement parsing —
+  * `$n` group references and backslash escapes — follows
+  * `java.util.regex.Matcher.replaceAll`, which is also what Spark's
+  * `regexp_replace` uses, so group-referencing replacements (PiiScrub
+  * passes `$1`/`$2`) behave identically on both paths (spec-pinned).
   */
 case class RegexChain(child: Expression, stages: Seq[RegexStage]) extends UnaryExpression {
 

@@ -22,14 +22,23 @@ object PiiScrub {
   /** (pattern, replacement) stages, order observable: cards before
     * phones (a 16-digit card would otherwise half-match the phone
     * shape), emails before IPs (domain literals).
+    *
+    * Card separators are OPTIONAL per group, so an unseparated 13-19
+    * digit PAN (the most common printed form) is redacted too; the
+    * `(^|[^0-9])…($|[^0-9])` guards keep the stage off longer digit
+    * runs. Recall over precision is deliberate for a PII scrubber —
+    * a bare 13-19 digit run (e.g. an epoch-millis timestamp) is
+    * card-shaped and gets redacted.
     */
   val Stages: Seq[(String, String)] = Seq(
     // email first: user@host swallows digits that later stages might eat
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
-    // 13-19 digit card runs with optional -/space group separators
-    "(^|[^0-9])[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{1,7}($|[^0-9])" -> "$1<CARD>$2",
-    // international/domestic phone shapes: 010-1234-5678, +82 10 1234 5678, (02) 123-4567
-    "(^|[^0-9])\\+?[0-9]{1,3}[- .]?\\(?[0-9]{2,4}\\)?[- .][0-9]{3,4}[- .][0-9]{4}($|[^0-9])" -> "$1<PHONE>$2",
+    // 13-19 digit card runs, each group separator an optional -/space
+    "(^|[^0-9])[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{1,7}($|[^0-9])" -> "$1<CARD>$2",
+    // phone shapes, 3 separated groups with an optional +cc prefix and
+    // optional parens on the area code: 010-1234-5678,
+    // +82 10 1234 5678, (02) 123-4567
+    "(^|[^0-9])(?:\\+[0-9]{1,3}[- .]?)?\\(?[0-9]{1,4}\\)?[- .][0-9]{3,4}[- .][0-9]{4}($|[^0-9])" -> "$1<PHONE>$2",
     // IPv4
     "(^|[^0-9.])([0-9]{1,3}\\.){3}[0-9]{1,3}($|[^0-9.])" -> "$1<IP>$3"
   )
@@ -44,8 +53,8 @@ object PiiScrub {
   def scrubSql(input: String): String = {
     val duck = Seq(
       ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-      ("(^|[^0-9])[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{1,7}($|[^0-9])", "\\1<CARD>\\2"),
-      ("(^|[^0-9])\\+?[0-9]{1,3}[- .]?\\(?[0-9]{2,4}\\)?[- .][0-9]{3,4}[- .][0-9]{4}($|[^0-9])", "\\1<PHONE>\\2"),
+      ("(^|[^0-9])[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{1,7}($|[^0-9])", "\\1<CARD>\\2"),
+      ("(^|[^0-9])(?:\\+[0-9]{1,3}[- .]?)?\\(?[0-9]{1,4}\\)?[- .][0-9]{3,4}[- .][0-9]{4}($|[^0-9])", "\\1<PHONE>\\2"),
       ("(^|[^0-9.])([0-9]{1,3}\\.){3}[0-9]{1,3}($|[^0-9.])", "\\1<IP>\\3")
     )
     duck.foldLeft(input) { case (acc, (p, r)) =>

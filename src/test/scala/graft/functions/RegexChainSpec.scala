@@ -29,6 +29,19 @@ class RegexChainSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("$n group references replace identically to regexp_replace (Matcher semantics)") {
+    import spark.implicits._
+    val stages = Seq(
+      "([a-z]+)-([0-9]+)" -> "$2:$1",          // swap via group refs
+      "(^|[^0-9])([0-9]{2})x" -> "$1<N$2>"      // guard-class recapture, PiiScrub shape
+    )
+    val samples = Seq("abc-123 and def-9", "42x edge 7 99x", "", "no digits here")
+    val df = samples.toDF("text")
+    val folded = stages.foldLeft(col("text")) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+    val rows = df.select(RegexChain(col("text"), stages).as("chain"), folded.as("fold")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("RegexChain stays inside whole-stage codegen where the nested fold cannot") {
     // spark.range gives a real (non-local) scan so the projection isn't
     // constant-folded into a LocalTableScan before planning

@@ -16,6 +16,9 @@ class PiiScrubSpec extends SparkTestBase {
     assert(scrubOne("call 010 1234 5678 now") == "call <PHONE> now")
     assert(scrubOne("host 192.168.0.1 up") == "host <IP> up")
     assert(scrubOne("pay 1234-5678-9012-3456 thanks") == "pay <CARD> thanks")
+    assert(scrubOne("pay 1234567890123456 thanks") == "pay <CARD> thanks") // unseparated PAN
+    assert(scrubOne("pay 1234 5678 9012 345 ok") == "pay <CARD> ok")       // 15-digit, spaces
+    assert(scrubOne("call (02) 123-4567 now") == "call <PHONE> now")       // leading-paren area code
   }
 
   test("does not fire on plain prose, versions, or short digit runs") {
