@@ -47,6 +47,39 @@ class CliSpec extends SparkTestBase {
     assert(!new java.io.File(s"$work/store").exists())
   }
 
+  test("extract → transform → load → search over a binary HWP corpus (--source hwp)") {
+    val input = Files.createTempDirectory("graft-cli-hwp-in").toString
+    val work = Files.createTempDirectory("graft-cli-hwp-work").toString
+    Files.createDirectories(Paths.get(s"$input/notices"))
+    (1 to 3).foreach { i =>
+      val text = (1 to 20)
+        .map(j => s"공지사항 $i 번째 문단 $j 스파크 조인과 집계 파이프라인에 대한 설명입니다.")
+        .mkString(" ")
+      Files.write(
+        Paths.get(s"$input/notices/n$i.hwp"),
+        graft.sources.HwpFixtures.buildHwpCfb(text, compressed = true)
+      )
+    }
+
+    Cli.run(spark, Cli.parse(Array("extract", "--input", input, "--work", work, "--source", "hwp")))
+    val docs = spark.read.parquet(s"$work/documents")
+    assert(docs.count() == 3)
+    assert(docs.select("language").distinct().collect().map(_.getString(0)).toSeq == Seq("korean"))
+
+    Cli.run(spark, Cli.parse(Array("transform", "--work", work)))
+    assert(spark.read.parquet(s"$work/chunks").count() >= 3)
+
+    Cli.run(spark, Cli.parse(Array("load", "--work", work)))
+    val store = spark.read.parquet(s"$work/store")
+    assert(store.columns.contains("embedding"))
+
+    val results = Cli.search(
+      spark,
+      Cli.parse(Array("search", "--work", work, "--query", "스파크 조인 집계", "--k", "2"))
+    )
+    assert(results.count() == 2)
+  }
+
   test("unknown stage/flag rejected") {
     intercept[IllegalArgumentException](Cli.parse(Array("extract", "--bogus", "x")))
     intercept[IllegalArgumentException](
