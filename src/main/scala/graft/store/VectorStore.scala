@@ -27,12 +27,25 @@ final class VectorStore(root: String) {
     * pass: `partitionBy` gives one directory per collection with no
     * driver loop (vs the reference's per-folder insert loop,
     * milvus_store.py:144-166).
+    *
+    * `extraPartitionCols` nests further partition levels under the
+    * collection — the O1 composite layout: with `Seq("language")`, the
+    * language-aware pre-k filter (search_utils.py:18-38 query-language
+    * routing) becomes DIRECTORY pruning too, so a Korean query against
+    * one collection reads `collection=X/language=korean/` and nothing
+    * else. Keep extra levels low-cardinality (language ~5 values) —
+    * every level multiplies directory count.
     */
-  def writePartitioned(df: DataFrame, collectionCol: String, prefix: String): Unit =
+  def writePartitioned(
+      df: DataFrame,
+      collectionCol: String,
+      prefix: String,
+      extraPartitionCols: Seq[String] = Nil
+  ): Unit =
     df.withColumn("collection", TextCleaner.collectionName(col(collectionCol), prefix))
       .write
       .mode(SaveMode.Overwrite)
-      .partitionBy("collection")
+      .partitionBy("collection" +: extraPartitionCols: _*)
       .parquet(root)
 
   def readCollection(spark: SparkSession, collection: String): DataFrame =

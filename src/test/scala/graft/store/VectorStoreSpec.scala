@@ -30,6 +30,32 @@ class VectorStoreSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), "collection filter must not shuffle")
   }
 
+  test("composite collection+language layout: language filter prunes directories (O1)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store-lang").toString
+    val store = new VectorStore(root)
+    val df = Seq(
+      ("a", "guides", "korean", "한글 본문"),
+      ("b", "guides", "english", "english body"),
+      ("c", "guides", "korean", "추가 본문"),
+      ("d", "notices", "english", "other text")
+    ).toDF("id", "folder", "language", "text")
+    store.writePartitioned(df, "folder", "docs_", extraPartitionCols = Seq("language"))
+
+    // nested directory layout on disk
+    assert(new java.io.File(s"$root/collection=docs_guides/language=korean").isDirectory)
+
+    val pruned = store
+      .readAll(spark)
+      .filter(col("collection") === "docs_guides" && col("language") === "korean")
+    assert(pruned.count() == 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(
+      scan.contains("PartitionFilters") && scan.contains("language"),
+      s"expected language partition pruning:\n$scan"
+    )
+  }
+
   test("IVF labeled store: cluster filter prunes partitions; stored search == in-memory search") {
     val store = new VectorStore(Files.createTempDirectory("graft-ivf").toString)
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
