@@ -21,4 +21,20 @@ class QueryCatalogSpec extends SparkTestBase {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.nonEmpty)
   }
+
+  test("near-dup / decontamination plans stay free of all-pairs joins (scale shape)") {
+    // the 100 TB contract for the pair-generating queries: candidates
+    // come from keyed equi-joins (band bucket / gram / cluster), never
+    // a cartesian or same-block nested-loop product over data rows
+    for (name <- Seq("q_ngram_jaccard", "q_minhash_lsh", "q_decontaminate", "q_simhash")) {
+      val plan = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join:\n$plan")
+    }
+    // q_ivf_knn_join: the query×centroid crossJoin(broadcast) IS a
+    // nested-loop by design — O(queries · nlist), nlist is tiny — but a
+    // cartesian over DATA rows must still never appear
+    val ivf = SparkEntry.queries("q_ivf_knn_join")(spark, sf()).queryExecution.executedPlan.toString
+    assert(!ivf.contains("CartesianProduct"), s"q_ivf_knn_join plans a cartesian product:\n$ivf")
+  }
 }
