@@ -35,6 +35,40 @@ object Dedup {
       .drop("__h", "__rn")
   }
 
+  /** Corpus-wide LINE-level dedup stats — the C4/RefinedWeb
+    * preprocessing step: every non-empty (trimmed) line is kept only at
+    * its FIRST occurrence across the whole corpus (boilerplate
+    * navigation, cookie banners, repeated headers collapse to one
+    * copy). Deterministic distributed "first" = (doc_id, line_index)
+    * order, same contract as [[exactDedup]]. Returns per-doc
+    * (n_lines, n_kept, kept_ratio) — the survival profile a corpus
+    * curation pipeline filters on.
+    *
+    * Plan shape at 100 TB: posexplode (no shuffle) → one
+    * line-hash-keyed window shuffle (uniform keys — lines hash evenly;
+    * the one hot key "empty line" is filtered before the shuffle) →
+    * per-doc re-aggregation keyed by doc_id. No all-pairs anything.
+    */
+  def lineDedupStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "\n")).as(Seq("idx", "raw")))
+      .withColumn("ln", trim(col("raw")))
+      .filter(length(col("ln")) > 0)
+      .select("doc_id", "idx", "ln")
+    val w = Window.partitionBy(col("ln")).orderBy(col("doc_id"), col("idx"))
+    val kept = lines.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    val keptCounts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+    totals
+      .join(keptCounts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_lines"), 6).as("kept_ratio")
+      )
+  }
+
   /** Word-level shingles (n-grams of tokens) as the MinHash universe. */
   def shingles(textCol: Column, n: Int): Column = {
     val tokens = split(normalizedText(textCol), " ")

@@ -736,6 +736,33 @@ object QueryCatalog {
                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
           ORDER BY id_a, id_b"""
 
+  /** Corpus-wide line-level dedup survival stats (C4/RefinedWeb
+    * boilerplate-line removal; see Dedup.lineDedupStats). The oracle
+    * replays the whole keep-first-by-(doc_id,index) contract in DuckDB,
+    * so green certifies the deterministic distributed "first", not just
+    * the counts' shape.
+    */
+  val qLineDedup: Q = (s, dir) =>
+    Dedup.lineDedupStats(rebalanced(tbl(s, dir, "documents")), "doc_id", "text")
+
+  val qLineDedupSql: String =
+    raw"""WITH t AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+          ex AS (
+            SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM t),
+          lines AS (
+            SELECT doc_id, CAST(i AS INT) AS idx, trim(ls[CAST(i AS INT) + 1]) AS ln FROM ex),
+          ne AS (SELECT * FROM lines WHERE ln <> ''),
+          kept AS (
+            SELECT doc_id, idx FROM ne
+            QUALIFY row_number() OVER (PARTITION BY ln ORDER BY doc_id, idx) = 1),
+          totals AS (SELECT doc_id, count(*) AS n_lines FROM ne GROUP BY doc_id),
+          kc AS (SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, t.n_lines,
+                 coalesce(k.n_kept, 0) AS n_kept,
+                 round(coalesce(k.n_kept, 0) * 1.0 / t.n_lines, 6) AS kept_ratio
+          FROM totals t LEFT JOIN kc k USING (doc_id) ORDER BY doc_id"""
+
   /** MinHash+LSH near-dup pairs. The minhash signatures themselves are
     * engine-specific (murmur-based), but the OUTPUT is the exact-verified
     * pair set — every candidate is re-checked with true shingle-set
@@ -1578,6 +1605,7 @@ object QueryCatalog {
     "q_chunk_recursive" -> qChunkRecursive,
     "q_chunk_semantic" -> qChunkSemantic,
     "q_dedup_exact" -> qDedupExact,
+    "q_line_dedup" -> qLineDedup,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_lsh" -> qMinHashLsh,
     "q_simhash" -> qSimHash,
@@ -1627,6 +1655,7 @@ object QueryCatalog {
     "q_chunk_recursive" -> qChunkRecursiveSql,
     "q_chunk_semantic" -> qChunkSemanticSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_line_dedup" -> qLineDedupSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinHashLshSql,
     "q_simhash" -> qSimHashSql,

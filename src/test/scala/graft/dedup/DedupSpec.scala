@@ -20,6 +20,28 @@ class DedupSpec extends SparkTestBase {
     assert(out(1).getString(2) == "unique text")
   }
 
+  test("line dedup keeps each line at its first corpus position (C4-style)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unique one\nshared banner\nunique two"),
+      (2L, "shared banner\nonly here\n\n  \nshared banner"),
+      (3L, "shared banner")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .lineDedupStats(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 1: 3 lines, all first occurrences; doc 2: 3 non-empty lines
+    // (blank/whitespace lines don't count), only "only here" survives;
+    // doc 3: its single line is a corpus-wide dup — zero survivors
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 1.0),
+      (2L, 3L, 1L, 0.333333),
+      (3L, 1L, 0L, 0.0)
+    ))
+  }
+
   test("dedup is idempotent") {
     import spark.implicits._
     val df = Seq(("a", 0, "x y"), ("b", 1, "X  Y"), ("c", 2, "z")).toDF("source", "pos", "text")
