@@ -966,6 +966,30 @@ object QueryCatalog {
                ) / 4.0, 4) AS quality_score
        FROM f ORDER BY doc_id"""
 
+  /** Top-5 distinctive terms per document (raw-count-IDF TF-IDF; see
+    * TextAnalysis.topTermsPerDoc for why not log-IDF). The oracle
+    * recomputes tf, df, and the score from scratch — the single IEEE
+    * division keeps the rounded score bit-identical across engines.
+    */
+  val qTfidfTopk: Q = (s, dir) =>
+    TextAnalysis.topTermsPerDoc(rebalanced(tbl(s, dir, "documents")), "doc_id", "text", 5)
+
+  val qTfidfTopkSql: String =
+    raw"""WITH terms AS (
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'), t -> t <> '')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+          dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+                   round(tf.tf * n.n * 1.0 / dfc.df, 6) AS score
+            FROM tf JOIN dfc USING (term) CROSS JOIN n)
+          SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+            FROM scored)
+          WHERE rank <= 5 ORDER BY doc_id, rank"""
+
   val qFingerprint: Q = (s, dir) =>
     tbl(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
@@ -1616,6 +1640,7 @@ object QueryCatalog {
     "q_quality_report" -> qQualityReport,
     "q_quality_score" -> qQualityScore,
     "q_fingerprint" -> qFingerprint,
+    "q_tfidf_topk" -> qTfidfTopk,
     "q_langid_ngram" -> qLangIdNgram,
     "q_pii_scrub" -> qPiiScrub,
     "q_repetition" -> qRepetition,
@@ -1670,6 +1695,7 @@ object QueryCatalog {
     "q_quality_report" -> qQualityReportSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_fingerprint" -> qFingerprintSql,
+    "q_tfidf_topk" -> qTfidfTopkSql,
     "q_ann_topk" -> qAnnTopKSql,
     "q_ann_topk_filtered" -> qAnnTopKFilteredSql,
     "q_multi_collection" -> qMultiCollectionSql,

@@ -162,6 +162,39 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  /** Top-k distinctive terms per document — TF-IDF ranking with the
+    * RAW-count IDF variant: score = tf · (N / df). Deliberately not
+    * log-IDF: one integer multiply + one IEEE-754 division is
+    * bit-reproducible across engines (ln() differs in the last ulp
+    * between libms, which an exact-hash oracle cannot tolerate); the
+    * ranking it induces per document is the same family, and swapping
+    * in `log(N/df)` is a one-expression change where bit-parity isn't
+    * required.
+    *
+    * Plan shape at 100 TB: explode → (doc, term) count shuffle →
+    * term-keyed df aggregation (one row per vocab term) joined back on
+    * term → per-doc window top-k. The corpus size N is one
+    * column-pruned count() at build time (the same 1-row-job pattern as
+    * QualityMonitor.histogram's min/max).
+    */
+  def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count() // one column-pruned metadata job
+    val terms = df
+      .select(
+        col(idCol).as("doc_id"),
+        explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"), t => length(t) > 0)).as("term")
+      )
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+    tf.join(dfCounts, Seq("term"))
+      .withColumn("score", round(col("tf").cast("double") * lit(n.toDouble) / col("df"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
+
   /** Document fingerprint: md5 of the normalized text (stable content
     * address), plus a 64-bit rolling-hash-style fingerprint via
     * xxhash64 for cheap joins.

@@ -86,6 +86,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("topTermsPerDoc ranks rare-in-corpus, frequent-in-doc terms first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark common"),
+      (2L, "duck duck common"),
+      (3L, "common plain words")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .topTermsPerDoc(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // doc 1: "spark" tf=3 df=1 (score 9.0) beats "common" tf=1 df=3 (1.0)
+    assert(got(0) == (1L, 1, "spark", 3L, 1L))
+    assert(got(1) == (1L, 2, "common", 1L, 3L))
+    // doc 2: "duck" tf=2 df=1 (6.0) beats "common"
+    assert(got(2) == (2L, 1, "duck", 2L, 1L))
+    // doc 3: unique terms (df=1) beat the shared one; ties break by term
+    assert(got(4) == (3L, 1, "plain", 1L, 1L))
+    assert(got(5) == (3L, 2, "words", 1L, 1L))
+  }
+
   test("quality score is in [0,1] and rewards fluent prose") {
     import spark.implicits._
     val prose = "the cat sat on the mat and it was a good day for all of us in the house"
