@@ -56,9 +56,11 @@ object Bench {
     }
 
     // untimed warm-up: full query set once at the smallest sibling sf
-    // (if present), then load-side prep for the target dir
+    // (if present), then load-side prep for the target dir. Canonical
+    // paths: a trailing-slash/relative/symlinked SPARK_GRAFT_SF_DIR
+    // must not defeat the "don't warm up on the timed data" guard.
     val warmDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
-    if (warmDir.isDirectory && warmDir.getPath != sfDir)
+    if (warmDir.isDirectory && warmDir.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath)
       SparkEntry.queries.foreach { case (n, fn) => runOne(n, fn, warmDir.getPath, record = false) }
     try SparkEntry.prepare(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prepare FAILED: $e") }

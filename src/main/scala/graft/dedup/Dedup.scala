@@ -44,10 +44,16 @@ object Dedup {
     * (n_lines, n_kept, kept_ratio) — the survival profile a corpus
     * curation pipeline filters on.
     *
-    * Plan shape at 100 TB: posexplode (no shuffle) → one
-    * line-hash-keyed window shuffle (uniform keys — lines hash evenly;
-    * the one hot key "empty line" is filtered before the shuffle) →
-    * per-doc re-aggregation keyed by doc_id. No all-pairs anything.
+    * Plan shape at 100 TB: a boilerplate line is a GUARANTEED hot key
+    * (the workload exists because one banner appears in 30% of docs),
+    * so the global "first occurrence" must never be a row_number window
+    * over the raw occurrences — a window cannot partial-aggregate and
+    * the hot line's billions of rows would funnel into one task.
+    * Instead: aggregate to (doc, line) first (keyed by the pair — no
+    * hot key), then take min(struct(doc_id, first_idx)) per line — an
+    * ordinary aggregate with MAP-SIDE COMBINE, so even the hottest line
+    * arrives at the reducer as one row per upstream partition. One scan
+    * of the exploded lines, no window anywhere.
     */
   def lineDedupStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df
@@ -55,17 +61,27 @@ object Dedup {
       .withColumn("ln", trim(col("raw")))
       .filter(length(col("ln")) > 0)
       .select("doc_id", "idx", "ln")
-    val w = Window.partitionBy(col("ln")).orderBy(col("doc_id"), col("idx"))
-    val kept = lines.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
-    val keptCounts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
-    totals
-      .join(keptCounts, Seq("doc_id"), "left")
+    val docLines = lines
+      .groupBy("doc_id", "ln")
+      .agg(count(lit(1)).as("c"), min(col("idx")).as("first_idx"))
+    val firsts = docLines
+      .groupBy("ln")
+      .agg(min(struct(col("doc_id"), col("first_idx"))).as("first"))
+    docLines
+      .join(firsts, Seq("ln"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_lines"),
+        sum(
+          when(col("first.doc_id") === col("doc_id") && col("first.first_idx") === col("first_idx"), 1L)
+            .otherwise(0L)
+        ).as("n_kept")
+      )
       .select(
         col("doc_id"),
         col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_lines"), 6).as("kept_ratio")
+        col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_lines"), 6).as("kept_ratio")
       )
   }
 
@@ -81,47 +97,38 @@ object Dedup {
       )
   }
 
-  /** Distinct word n-grams in ONE fused pass (UDF). Same universe as
-    * `array_distinct(shingles(...))` — including the fewer-than-n-tokens
-    * case (single space-joined shingle; [""] for empty/null docs) — but
-    * without the HOF transform/slice/concat_ws pipeline, which
-    * materializes an intermediate array per shingle (the shape that cost
-    * ~8 s of q_decontaminate at sf0.1; same lesson as the MinHash
-    * signature builder above). Marked nondeterministic so the optimizer
-    * never duplicates it into inferred filters under a later explode
-    * (InferFiltersFromGenerate).
+  /** Distinct word n-grams in ONE fused pass (UDF) — a
+    * LinkedHashSet-dedup over [[shingleArray]], so the signature
+    * builder, the candidate verifier, and this index-side helper share
+    * ONE tokenize+shingle implementation (and therefore one canonical
+    * empty-doc behavior: zero tokens → zero shingles). Fused because
+    * the HOF transform/slice/concat_ws pipeline materializes an
+    * intermediate array per shingle (~8 s of q_decontaminate at sf0.1;
+    * same lesson as the MinHash signature builder). Marked
+    * nondeterministic so the optimizer never duplicates it into
+    * inferred filters under a later explode (InferFiltersFromGenerate).
     */
   def distinctShingles(textCol: Column, n: Int): Column = {
     val f = udf { (text: String) =>
-      val toks =
-        if (text == null) Array.empty[String]
-        else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      if (toks.length < n) Seq(toks.mkString(" "))
-      else {
-        val seen = new java.util.LinkedHashSet[String]
-        val sb = new java.lang.StringBuilder
-        var i = 0
-        while (i <= toks.length - n) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-          seen.add(sb.toString)
-          i += 1
-        }
-        import scala.jdk.CollectionConverters._
-        seen.asScala.toSeq
-      }
+      val seen = new java.util.LinkedHashSet[String]
+      shingleArray(text, n).foreach(seen.add)
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq
     }
     f.asNondeterministic()(textCol)
   }
 
   /** Tokenize + shingle, as a plain Scala function shared by the
-    * signature builder and the candidate verifier so both see the
-    * exact same shingle universe.
+    * signature builder, the candidate verifier, and the index-side
+    * [[distinctShingles]] so all see the exact same shingle universe.
+    * Zero tokens → ZERO shingles (the DuckDB oracles encode the same
+    * rule explicitly). Locale.ROOT lowercasing — default-locale
+    * toLowerCase diverges from engine lower() under tr/az locales
+    * (dotless ı) and Greek final sigma.
     */
   private[dedup] def shingleArray(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     if (toks.length == 0) Array.empty
     else if (toks.length < n) Array(toks.mkString(" "))
     else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
@@ -507,7 +514,7 @@ object Dedup {
     val f = udf { (s: String) =>
       if (s == null) 0L
       else {
-        val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val toks = s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         val counts = new Array[Int](64)
         var n = 0
         toks.foreach { t =>

@@ -44,7 +44,7 @@ final class HashEmbedder(val dim: Int = 1024, ngram: Int = 3)
 
   override def embed(text: String): Array[Float] = {
     val v = new Array[Float](dim)
-    val s = "\u0002" + (if (text == null) "" else text.toLowerCase) + "\u0003"
+    val s = "\u0002" + (if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)) + "\u0003"
     val md = HashEmbedder.md5Local.get()
     var i = 0
     val n = s.length

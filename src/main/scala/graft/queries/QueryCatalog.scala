@@ -723,7 +723,8 @@ object QueryCatalog {
             FROM documents),
           sh AS (
             SELECT doc_id,
-                   list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                   list_distinct(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                        WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
                         ELSE list_transform(range(1, len(toks)),
                                             i -> toks[i] || ' ' || toks[i+1]) END) AS s
             FROM t)
@@ -783,7 +784,8 @@ object QueryCatalog {
             FROM documents),
           sh AS (
             SELECT doc_id,
-                   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                   list_distinct(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                        WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
                         ELSE list_transform(range(1, len(toks) - 1),
                                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
             FROM t)
@@ -1017,7 +1019,8 @@ object QueryCatalog {
             FROM documents),
           sh AS (
             SELECT doc_id,
-                   list_distinct(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                   list_distinct(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                        WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
                         ELSE list_transform(range(1, len(toks) - 6),
                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
                                toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]) END) AS s

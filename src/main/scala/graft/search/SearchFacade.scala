@@ -42,7 +42,7 @@ object SearchFacade {
     val total = text.length.toDouble
     val kr = text.count(c => c >= '가' && c <= '힣')
     val vietSet = "àáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ".toSet
-    val vi = text.toLowerCase.count(vietSet.contains)
+    val vi = text.toLowerCase(java.util.Locale.ROOT).count(vietSet.contains)
     if (kr / total > 0.1) "korean"
     else if (vi / total > 0.05) "vietnamese"
     else "english"

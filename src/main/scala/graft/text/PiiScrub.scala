@@ -35,10 +35,11 @@ object PiiScrub {
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     // 13-19 digit card runs, each group separator an optional -/space
     "(^|[^0-9])[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{1,7}($|[^0-9])" -> "$1<CARD>$2",
-    // phone shapes, 3 separated groups with an optional +cc prefix and
+    // phone shapes, 3 separated groups with an optional country-code
+    // prefix (with or without '+', its own separator required) and
     // optional parens on the area code: 010-1234-5678,
-    // +82 10 1234 5678, (02) 123-4567
-    "(^|[^0-9])(?:\\+[0-9]{1,3}[- .]?)?\\(?[0-9]{1,4}\\)?[- .][0-9]{3,4}[- .][0-9]{4}($|[^0-9])" -> "$1<PHONE>$2",
+    // +82 10 1234 5678, 82 10 1234 5678, (02) 123-4567
+    "(^|[^0-9])(?:\\+?[0-9]{1,3}[- .])?\\(?[0-9]{1,4}\\)?[- .][0-9]{3,4}[- .][0-9]{4}($|[^0-9])" -> "$1<PHONE>$2",
     // IPv4
     "(^|[^0-9.])([0-9]{1,3}\\.){3}[0-9]{1,3}($|[^0-9.])" -> "$1<IP>$3"
   )
@@ -54,7 +55,7 @@ object PiiScrub {
     val duck = Seq(
       ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       ("(^|[^0-9])[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{1,7}($|[^0-9])", "\\1<CARD>\\2"),
-      ("(^|[^0-9])(?:\\+[0-9]{1,3}[- .]?)?\\(?[0-9]{1,4}\\)?[- .][0-9]{3,4}[- .][0-9]{4}($|[^0-9])", "\\1<PHONE>\\2"),
+      ("(^|[^0-9])(?:\\+?[0-9]{1,3}[- .])?\\(?[0-9]{1,4}\\)?[- .][0-9]{3,4}[- .][0-9]{4}($|[^0-9])", "\\1<PHONE>\\2"),
       ("(^|[^0-9.])([0-9]{1,3}\\.){3}[0-9]{1,3}($|[^0-9.])", "\\1<IP>\\3")
     )
     duck.foldLeft(input) { case (acc, (p, r)) =>

@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
 object RepetitionStats {
 
   private[text] def tokensOf(s: String): Array[String] =
-    s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
   private[text] def ngramCounts(toks: Array[String], n: Int): scala.collection.mutable.Map[String, Int] = {
     val m = scala.collection.mutable.HashMap.empty[String, Int]

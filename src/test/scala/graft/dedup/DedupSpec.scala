@@ -42,6 +42,16 @@ class DedupSpec extends SparkTestBase {
     ))
   }
 
+  test("empty/whitespace docs have ZERO shingles everywhere — no vacuous near-dup pairs") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   \n  "), (3L, "real content here still")).toDF("doc_id", "text")
+    val sh = df.select(Dedup.distinctShingles(col("text"), 3).as("s")).collect()
+    assert(sh(0).getSeq[String](0).isEmpty && sh(1).getSeq[String](0).isEmpty)
+    // two empty docs must NOT pair up as jaccard-1.0 near-dups
+    val pairs = Dedup.minHashLshPairs(df, "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.8)
+    assert(pairs.count() == 0)
+  }
+
   test("dedup is idempotent") {
     import spark.implicits._
     val df = Seq(("a", 0, "x y"), ("b", 1, "X  Y"), ("c", 2, "z")).toDF("source", "pos", "text")

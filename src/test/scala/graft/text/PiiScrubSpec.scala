@@ -19,6 +19,7 @@ class PiiScrubSpec extends SparkTestBase {
     assert(scrubOne("pay 1234567890123456 thanks") == "pay <CARD> thanks") // unseparated PAN
     assert(scrubOne("pay 1234 5678 9012 345 ok") == "pay <CARD> ok")       // 15-digit, spaces
     assert(scrubOne("call (02) 123-4567 now") == "call <PHONE> now")       // leading-paren area code
+    assert(scrubOne("call 82 10 1234 5678 now") == "call <PHONE> now")     // bare country code, no '+'
   }
 
   test("does not fire on plain prose, versions, or short digit runs") {
