@@ -73,6 +73,32 @@ object StreamingIngest {
       .start()
   }
 
+  /** Gap-based sessionization — the streaming-native shape of the batch
+    * lag+cumulative-sum formulation (q_sessionize): `session_window`
+    * merges events within `gap` of each other per user, and the
+    * watermark finalizes (and emits, in append mode) a session once no
+    * in-order event can extend it. State is bounded by the watermark —
+    * the property the batch formulation cannot give an unbounded
+    * stream.
+    */
+  def sessionize(
+      events: DataFrame,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")
+      )
+
   /** Windowed event aggregation with watermark — the streaming shape of
     * qEventsHourly (tumbling 1h windows, 2h late-data bound). Batch and
     * stream share the plan; tested via the batch path and exposed for

@@ -34,6 +34,50 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(spark.read.parquet(store).count() == out.count())
   }
 
+  test("session_window sessionization finalizes sessions across micro-batches at the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val events = input.toDS().toDF("ts", "user_id")
+    val q = StreamingIngest
+      .sessionize(events, gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // one session: two events 10 min apart
+      input.addData((t("2026-01-01 10:00:00"), "u1"), (t("2026-01-01 10:10:00"), "u1"))
+      q.processAllAvailable()
+      // far-future event advances the watermark past the session's close
+      input.addData((t("2026-01-01 13:00:00"), "u1"))
+      q.processAllAvailable()
+      input.addData((t("2026-01-01 16:00:00"), "u1"))
+      q.processAllAvailable()
+
+      val rows = spark.table("sessions_out")
+        .orderBy("session_start")
+        .collect()
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      // first session merged both events and closed at last_event + gap
+      assert(rows.nonEmpty)
+      assert(rows(0) == ("2026-01-01 10:00:00.0", "2026-01-01 10:40:00.0", 2L))
+    } finally q.stop()
+  }
+
+  test("session_window sessionization matches gap semantics in batch mode") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (t("2026-01-01 10:00:00"), "u1"), (t("2026-01-01 10:10:00"), "u1"),
+      (t("2026-01-01 12:00:00"), "u1"), (t("2026-01-01 10:05:00"), "u2")
+    ).toDF("ts", "user_id")
+    val out = StreamingIngest.sessionize(events)
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    assert(out.toSeq == Seq(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+  }
+
   test("hourly event windows with watermark (batch-mode plan)") {
     import spark.implicits._
     val events = Seq(
