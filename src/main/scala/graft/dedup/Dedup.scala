@@ -52,8 +52,16 @@ object Dedup {
     * Instead: aggregate to (doc, line) first (keyed by the pair — no
     * hot key), then take min(struct(doc_id, first_idx)) per line — an
     * ordinary aggregate with MAP-SIDE COMBINE, so even the hottest line
-    * arrives at the reducer as one row per upstream partition. One scan
-    * of the exploded lines, no window anywhere.
+    * arrives at the reducer as one row per upstream partition. No
+    * window anywhere.
+    *
+    * Known recompute: the (doc, line) aggregate feeds two branches
+    * (global firsts + the stats join), and per-branch column pruning
+    * makes the exchanges non-identical, so ReuseExchange cannot dedupe
+    * them — the scan+explode runs twice. Deliberate: the duplicate is
+    * shuffle-free map work, while persisting a tokenized 100 TB corpus
+    * to dodge it costs more than it saves. Callers that already hold
+    * the lines in memory can pre-aggregate and persist themselves.
     */
   def lineDedupStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df

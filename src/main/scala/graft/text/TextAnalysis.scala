@@ -173,9 +173,14 @@ object TextAnalysis {
     *
     * Plan shape at 100 TB: explode → (doc, term) count shuffle →
     * term-keyed df aggregation (one row per vocab term) joined back on
-    * term → per-doc window top-k. The corpus size N is one
-    * column-pruned count() at build time (the same 1-row-job pattern as
-    * QualityMonitor.histogram's min/max).
+    * term → per-doc window top-k (bounded: each doc holds its own top-k
+    * heap via WindowGroupLimit; doc_id keys are uniform). The corpus
+    * size N is one column-pruned count() at build time (the same
+    * 1-row-job pattern as QualityMonitor.histogram's min/max). The tf
+    * aggregate feeds both the df branch and the join; per-branch column
+    * pruning defeats ReuseExchange, so the scan+explode runs twice —
+    * deliberate, same reasoning as Dedup.lineDedupStats (shuffle-free
+    * duplicate beats persisting a tokenized corpus).
     */
   def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
