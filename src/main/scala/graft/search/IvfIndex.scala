@@ -78,6 +78,109 @@ object IvfIndex {
       .map(_._2)
   }
 
+  /** Per-cluster covering radius: max over the cluster's rows of
+    * ‖x̂ − c_j‖, where x̂ is the L2-normalized row vector and c_j the
+    * KMeans centroid (used purely as an anchor point — the triangle
+    * inequality holds for any anchor, so centroids trained on raw
+    * vectors are fine). One aggregate pass at index-build time, nlist
+    * doubles of driver state.
+    *
+    * This is what makes IVF search EXACT here (the classic
+    * branch-and-bound kNN bound): for normalized vectors,
+    * cos(q, x) = 1 − ‖q̂ − x̂‖²/2, and for any x in cluster j
+    * ‖q̂ − x̂‖ ≥ ‖q̂ − c_j‖ − r_j, so
+    * cos(q, x) ≤ 1 − max(0, ‖q̂ − c_j‖ − r_j)²/2 =: ub_j.
+    * A cluster whose ub_j is below the kth-best score found so far
+    * provably contains no top-k row and is never scanned. Zero-norm
+    * rows score null under [[VectorFunctions.cosineSimilarity]] and
+    * sort after every real score, so they never displace a bounded row.
+    */
+  def clusterRadii(
+      labeledCorpus: DataFrame,
+      centroids: Array[Array[Float]],
+      vecCol: String = "embedding"
+  )(implicit spark: SparkSession): Array[Double] = {
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
+      .toSeq
+      .toDF("cluster_id", "__centroid")
+    val measured = labeledCorpus
+      .select(col("cluster_id"), col(vecCol).as("__v"))
+      .join(broadcast(centDf), Seq("cluster_id"))
+      .groupBy("cluster_id")
+      .agg(max(sqrt(l2DistanceSq(normalize(col("__v")), col("__centroid")))).as("r"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+      .toMap
+    centroids.indices.map(j => measured.getOrElse(j, 0.0)).toArray
+  }
+
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Driver-side ub_j for a single query (see [[clusterRadii]]). A
+    * zero-norm query has no defined cosine — every bound degrades to
+    * 1.0 (probe everything), which keeps the path correct.
+    */
+  private[search] def upperBounds(
+      queryVec: Array[Float],
+      centroids: Array[Array[Float]],
+      radii: Array[Double]
+  ): Array[Double] = {
+    val qn = math.sqrt(dotD(queryVec, queryVec))
+    if (qn == 0.0) return Array.fill(centroids.length)(1.0)
+    centroids.zipWithIndex.map { case (c, j) =>
+      val dotQhatC = dotD(queryVec, c) / qn // dot(q̂, c_j)
+      val distSq = math.max(0.0, 1.0 - 2.0 * dotQhatC + dotD(c, c))
+      val gap = math.max(0.0, math.sqrt(distSq) - radii(j))
+      1.0 - gap * gap / 2.0
+    }
+  }
+
+  /** EXACT top-k through the IVF layout, at any scale factor, by
+    * construction: scout the `scout` most-promising clusters (by ub_j)
+    * for a provisional kth-best score, then scan exactly the clusters
+    * whose upper bound says they could still hold a top-k row. Probing
+    * stays partition pruning (`isin` on cluster_id); the guarantee
+    * costs one extra tiny top-k job over the scout clusters.
+    *
+    * `boundSlack` widens the cut to absorb downstream score rounding:
+    * callers that re-rank on round(score, d) must pass slack > 10^-d
+    * so a row just below the raw kth score that ROUNDS into a tie
+    * (id-tiebreak) is still probed. Clusters are data-dependently
+    * pruned: tight real-embedding clusters prune hard; the synthetic
+    * near-isotropic corpus prunes little — but never incorrectly.
+    */
+  def searchTopKExact(
+      labeledCorpus: DataFrame,
+      centroids: Array[Array[Float]],
+      radii: Array[Double],
+      queryVec: Array[Float],
+      k: Int,
+      vecCol: String = "embedding",
+      predicate: Option[Column] = None,
+      scout: Int = IndexConfig.default.nprobe,
+      boundSlack: Double = 2e-4
+  ): DataFrame = {
+    val ub = upperBounds(queryVec, centroids, radii)
+    val scoutSet = ub.zipWithIndex.sortBy(-_._1).take(scout).map(_._2)
+    val scoutScores = VectorSearch
+      .topK(labeledCorpus.filter(col("cluster_id").isin(scoutSet: _*)), queryVec, k, vecCol,
+        predicate = predicate)
+      .select(col("score"))
+      .collect()
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val sk = if (scoutScores.length == k) scoutScores.min else -2.0 // < any cosine
+    val finalSet = (scoutSet ++ ub.indices.filter(j => ub(j) >= sk - boundSlack)).distinct
+    VectorSearch.topK(
+      labeledCorpus.filter(col("cluster_id").isin(finalSet: _*)),
+      queryVec, k, vecCol, predicate = predicate)
+  }
+
   /** Q1 with IVF pruning: filter to the nprobe nearest clusters (an
     * `isin` filter that prunes partitions when the corpus is stored
     * partitioned by cluster_id), then exact top-k on the survivors.
@@ -152,6 +255,120 @@ object IvfIndex {
     val graded = scoreRounding.fold(scored)(dp => scored.withColumn("score", round(col("score"), dp)))
     graded
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** EXACT kNN join through the IVF layout (the join-shaped analog of
+    * [[searchTopKExact]]). Two keyed passes, both broadcast-centroid +
+    * cluster equi-joins — the cross product never forms:
+    *
+    * pass A (scout): each query joins its `scoutProbe` highest-ub_j
+    * clusters; the per-query kth-best RAW score s_k(q) comes from a
+    * window over those candidates. pass B (guarantee): each query
+    * additionally joins every cluster with ub_j ≥ s_k(q) − slack that
+    * pass A did not probe (usually none on clustered corpora). The
+    * final per-query top-k ranks the union of both candidate sets —
+    * on round(score, d) when `scoreRounding` is set, which is why the
+    * slack must exceed 10^-d (a just-below-s_k row can round into an
+    * id-tiebroken tie).
+    *
+    * The pass-A candidate set feeds both the s_k window and the final
+    * union, so its equi-join is recomputed once (same documented trade
+    * as lineDedupStats — re-scanning pruned partitions beats
+    * persisting a corpus-sized intermediate at 100 TB).
+    */
+  def knnJoinExact(
+      queries: DataFrame,
+      labeledCorpus: DataFrame,
+      centroids: Array[Array[Float]],
+      radii: Array[Double],
+      queryIdCol: String,
+      corpusIdCol: String,
+      k: Int,
+      scoutProbe: Int = IndexConfig.default.nprobe,
+      queryVecCol: String = "embedding",
+      corpusVecCol: String = "embedding",
+      scoreRounding: Option[Int] = None,
+      excludeSelf: Boolean = false,
+      boundSlack: Double = 2e-4
+  )(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, dotD(c, c)) }
+      .toSeq
+      .toDF("cluster_id", "centroid", "__cnorm2")
+      .withColumn("__radius", element_at(typedLit(radii.toSeq), col("cluster_id") + 1))
+
+    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"))
+    // ub_j per (query, cluster): cos(q,c_j)·‖c_j‖ = dot(q̂,c_j), then the
+    // radius bound from [[clusterRadii]]. Null cosine (zero query) → no
+    // pruning for that query (ub = 1).
+    val qc = q
+      .crossJoin(broadcast(centDf))
+      .withColumn(
+        "__ub", {
+          val dotQhatC = cosineSimilarity(col("__qvec"), col("centroid")) * sqrt(col("__cnorm2"))
+          val distSq = greatest(lit(0.0), lit(1.0) - lit(2.0) * dotQhatC + col("__cnorm2"))
+          val gap = greatest(lit(0.0), sqrt(distSq) - col("__radius"))
+          coalesce(lit(1.0) - gap * gap / 2.0, lit(1.0))
+        }
+      )
+      .select(col("query_id"), col("__qvec"), col("cluster_id"), col("__ub"))
+
+    val probed = qc
+      .withColumn(
+        "__crank",
+        row_number().over(Window.partitionBy("query_id").orderBy(desc("__ub"), col("cluster_id")))
+      )
+      .filter(col("__crank") <= scoutProbe)
+      .select("query_id", "__qvec", "cluster_id")
+
+    val c = labeledCorpus.select(
+      col("cluster_id"),
+      col(corpusIdCol).as("neighbor_id"),
+      col(corpusVecCol).as("__cvec")
+    )
+    def candidates(assign: DataFrame): DataFrame = {
+      val joined = c.join(assign, Seq("cluster_id"))
+      val nonSelf =
+        if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id")) else joined
+      nonSelf
+        .withColumn("score", cosineSimilarity(col("__cvec"), col("__qvec")))
+        .select("query_id", "neighbor_id", "score")
+    }
+
+    val candA = candidates(probed)
+    // Per-query kth-best raw score from the scout pass; a query with
+    // fewer than k real-scored candidates gets −2 (below any cosine) so
+    // every cluster passes the bound and the query degrades to exact.
+    val kth = candA
+      .withColumn(
+        "__rank",
+        row_number().over(Window.partitionBy("query_id").orderBy(desc("score"), col("neighbor_id")))
+      )
+      .filter(col("__rank") <= k && col("score").isNotNull)
+      .groupBy("query_id")
+      .agg(min(col("score")).as("__skmin"), count(lit(1)).as("__skcnt"))
+      .select(
+        col("query_id"),
+        when(col("__skcnt") === k, col("__skmin")).otherwise(lit(-2.0)).as("__sk")
+      )
+
+    val expand = qc
+      .join(kth, Seq("query_id"), "left")
+      .filter(col("__ub") >= coalesce(col("__sk"), lit(-2.0)) - boundSlack)
+      .select("query_id", "__qvec", "cluster_id")
+      .join(probed.select("query_id", "cluster_id"), Seq("query_id", "cluster_id"), "left_anti")
+
+    val all = candA.unionByName(candidates(expand))
+    val graded =
+      scoreRounding.fold(all)(dp => all.withColumn("score", round(col("score"), dp)))
+    graded
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy("query_id").orderBy(desc("score"), col("neighbor_id")))
+      )
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
   }

@@ -61,6 +61,46 @@ class VectorSearchSpec extends SparkTestBase {
     assert(recall >= 0.7, s"recall=$recall exact=$exact ivf=$ivf")
   }
 
+  test("IVF exact search: radius bound recovers neighbors the approximate path misses (scout=1)") {
+    implicit val s = spark
+    val cfg = IndexConfig(nlist = 16, nprobe = 1)
+    val (labeled0, centroids) = IvfIndex.build(embeddings, "embedding", cfg)
+    val labeled = labeled0.cache()
+    val radii = IvfIndex.clusterRadii(labeled, centroids)
+    val exact = VectorSearch.topK(embeddings, qv(7), 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    // With near-isotropic synthetic embeddings and a single probed
+    // cluster, the fixed-nprobe path cannot reach recall 1.0 — that is
+    // precisely the regime the bound has to survive.
+    val approx = IvfIndex.searchTopK(labeled, centroids, qv(7), 10, cfg)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(approx != exact, "fixture not adversarial: nprobe=1 already exact")
+    val bounded = IvfIndex.searchTopKExact(labeled, centroids, radii, qv(7), 10, scout = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(bounded == exact, s"bounded=$bounded exact=$exact")
+    labeled.unpersist()
+  }
+
+  test("IVF exact knn join matches brute-force join under scout=1") {
+    implicit val s = spark
+    val cfg = IndexConfig(nlist = 16, nprobe = 1)
+    val (labeled0, centroids) = IvfIndex.build(embeddings, "embedding", cfg)
+    val labeled = labeled0.cache()
+    val radii = IvfIndex.clusterRadii(labeled, centroids)
+    val queries = embeddings.filter(col("vec_id") < 8)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id")).toMap
+    val brute = key(
+      VectorSearch.knnJoin(queries, embeddings, "vec_id", "vec_id", 5).collect())
+    val exact = key(
+      IvfIndex.knnJoinExact(queries, labeled, centroids, radii, "vec_id", "vec_id", 5, scoutProbe = 1)
+        .collect())
+    assert(exact == brute)
+    labeled.unpersist()
+  }
+
+  private def qv(id: Long): Array[Float] =
+    embeddings.filter(col("vec_id") === id).head().getSeq[Float](1).toArray
+
   test("attribute query (Q3): filter + project + limit") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val out = VectorSearch.attributeQuery(docs, col("source") === "src1", Seq("doc_id", "lang"), 5)
