@@ -9,11 +9,78 @@ import scala.util.hashing.MurmurHash3
   * `binary` columns with typed metadata structs. The Spark-side
   * contract — schema, batched mapPartitions execution (the Scala
   * equivalent of `mapInPandas` batch shape), partition sizing — is real
-  * and tested; the actual codec calls are STUBBED with a deterministic
-  * fake because no image/audio libraries ship in this container. Swap
-  * `FakeCodec` for a real decoder without touching the plumbing.
+  * and tested. IMAGE decode is REAL (`ImageCodec`, `javax.imageio` —
+  * PNG/BMP/JPEG decoders ship in the JDK, zero egress); audio/video
+  * codecs stay behind the deterministic `FakeCodec` test double
+  * because no media libraries ship in this container.
   */
 object Multimodal {
+
+  /** Real image codec on `javax.imageio`. Used two ways:
+    *  - `decodeStats` is the production decode path: bytes → pixels →
+    *    dimensions + per-channel means (the feature-extraction shape a
+    *    training pipeline needs before any model call).
+    *  - `encodePng` generates deterministic gradient images whose
+    *    channel values are a CLOSED-FORM function of (x, y, seed) —
+    *    PNG is lossless, so decoded features are arithmetically
+    *    predictable and the q_image_features DuckDB oracle can
+    *    recompute them without any image library: a green row proves
+    *    the decode read real pixels.
+    */
+  object ImageCodec {
+    /** Per-channel pixel formulas — mirrored verbatim in the
+      * q_image_features oracle SQL. Int arithmetic, non-negative
+      * operands, so `%` agrees across engines.
+      */
+    def pixelR(x: Int, y: Int, seed: Int): Int = (x * 31 + y * 17 + seed) % 256
+    def pixelG(x: Int, y: Int, seed: Int): Int = (x * 7 + y * 13 + 2 * seed) % 256
+    def pixelB(x: Int, y: Int, seed: Int): Int = (x * 3 + y * 29 + 5 * seed) % 256
+
+    def encodePng(width: Int, height: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y,
+            (pixelR(x, y, seed) << 16) | (pixelG(x, y, seed) << 8) | pixelB(x, y, seed))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decoded image statistics. Channel means are one IEEE division
+      * of an exact integer sum — bit-reproducible in any engine that
+      * performs the same division (the oracle-parity rule used across
+      * this catalog).
+      */
+    final case class ImageStats(
+        width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double)
+
+    def decodeStats(bytes: Array[Byte]): ImageStats = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      ImageStats(w, h, sr / n, sg / n, sb / n)
+    }
+  }
 
   /** Typed metadata carried next to the binary payload. */
   val MediaMetaSchema: StructType = StructType(Seq(
@@ -25,10 +92,12 @@ object Multimodal {
     StructField("size_bytes", LongType, nullable = false)
   ))
 
-  /** DETERMINISTIC FAKE codec — stands in for libjpeg/ffmpeg et al.
+  /** DETERMINISTIC FAKE codec — stands in for ffmpeg et al. on the
+    * audio/video side (image decode is REAL above: [[ImageCodec]]).
     * Derives stable pseudo-features from the payload bytes so every
     * downstream stage (schema, batching, joins, ANN over features) is
-    * exercised end-to-end with reproducible values.
+    * exercised end-to-end with reproducible values; also kept as the
+    * test double for payloads that are not decodable containers.
     */
   object FakeCodec {
     def decodeDims(bytes: Array[Byte]): (Int, Int) = {
@@ -102,6 +171,49 @@ object Multimodal {
         batch.iterator.map { r =>
           val f = FakeCodec.features(r.getAs[Array[Byte]](binIdx), dim)
           Row.fromSeq(r.toSeq :+ f.toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Render a deterministic PNG per row from (width, height, seed)
+    * columns → binary `png` column. The generator half of the real
+    * image path: payload bytes are genuine PNG containers, not
+    * hash-fakes.
+    */
+  def withEncodedPng(
+      df: DataFrame, wCol: String, hCol: String, seedCol: String, outCol: String = "png"
+  ): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val (wi, hi, si) = (df.schema.fieldIndex(wCol), df.schema.fieldIndex(hCol), df.schema.fieldIndex(seedCol))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ ImageCodec.encodePng(r.getInt(wi), r.getInt(hi), r.getInt(si)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL image decode over a binary column (javax.imageio): dimensions
+    * + per-channel means as `img_width/img_height/mean_r/mean_g/mean_b`.
+    * Batched mapPartitions like the feature stage — per-batch setup is
+    * where a GPU decode would amortize.
+    */
+  def withImageStats(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("img_width", IntegerType, nullable = false),
+      StructField("img_height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)
+    ))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val s = ImageCodec.decodeStats(r.getAs[Array[Byte]](binIdx))
+          // Seq[Any]: a plain Seq would numerically widen the Int dims
+          // to Double and break the row encoder's INT fields
+          Row.fromSeq(r.toSeq ++ Seq[Any](s.width, s.height, s.meanR, s.meanG, s.meanB))
         }
       }
     }(Encoders.row(outSchema))

@@ -44,6 +44,51 @@ class MultimodalSpec extends SparkTestBase {
     assert(top.collect().head.getAs[Long]("media_id") == 1L)
   }
 
+  test("ImageCodec: PNG encode→imageio decode roundtrip matches the closed-form pixels") {
+    for ((w, h, seed) <- Seq((8, 8, 0), (16, 11, 437), (9, 14, 999), (1, 1, 123))) {
+      val bytes = Multimodal.ImageCodec.encodePng(w, h, seed)
+      // a real PNG container, not a hash-fake
+      assert(bytes.take(4).toSeq == Seq[Byte](0x89.toByte, 0x50, 0x4e, 0x47))
+      val st = Multimodal.ImageCodec.decodeStats(bytes)
+      assert(st.width == w && st.height == h)
+      def mean(f: (Int, Int, Int) => Int): Double =
+        (for (x <- 0 until w; y <- 0 until h) yield f(x, y, seed).toLong).sum / (w.toLong * h).toDouble
+      assert(st.meanR == mean(Multimodal.ImageCodec.pixelR))
+      assert(st.meanG == mean(Multimodal.ImageCodec.pixelG))
+      assert(st.meanB == mean(Multimodal.ImageCodec.pixelB))
+    }
+  }
+
+  test("ImageCodec: golden PNG bytes decode to pinned stats (imageio behavior lock)") {
+    // 2×2 gradient, seed 5 — bytes produced by encodePng on the dev
+    // machine and frozen here so a JDK/imageio behavior change (or an
+    // encode regression) fails loudly rather than silently shifting
+    // every downstream feature.
+    val golden = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAIAAAACCAIAAAD91JpzAAAAFklEQVR4XmNg5ZJUEZRhEBM3M5WzBAAHngFp+Z9bCAAAAABJRU5ErkJggg==")
+    val st = Multimodal.ImageCodec.decodeStats(golden)
+    assert(st == Multimodal.ImageCodec.ImageStats(2, 2, 29.0, 20.0, 41.0))
+    // and today's encoder still produces byte-identical output
+    assert(Multimodal.ImageCodec.encodePng(2, 2, 5).toSeq == golden.toSeq)
+  }
+
+  test("withEncodedPng + withImageStats: distributed real decode matches driver-side decode") {
+    import spark.implicits._
+    val dims = Seq((1L, 8, 9, 42), (2L, 12, 8, 7), (3L, 16, 14, 500))
+      .toDF("id", "w", "h", "seed")
+    val out = Multimodal.withImageStats(Multimodal.withEncodedPng(dims, "w", "h", "seed"), "png")
+      .select("id", "img_width", "img_height", "mean_r", "mean_g", "mean_b")
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    for ((id, w, h, seed) <- Seq((1L, 8, 9, 42), (2L, 12, 8, 7), (3L, 16, 14, 500))) {
+      val st = Multimodal.ImageCodec.decodeStats(Multimodal.ImageCodec.encodePng(w, h, seed))
+      val r = out(id)
+      assert(r.getInt(1) == st.width && r.getInt(2) == st.height)
+      assert(r.getDouble(3) == st.meanR && r.getDouble(4) == st.meanG && r.getDouble(5) == st.meanB)
+    }
+  }
+
   test("frame sampling stub is deterministic and bounded") {
     assert(Multimodal.FakeCodec.sampleFrameOffsets(10000, 4) == Seq(0L, 2500L, 5000L, 7500L))
     assert(Multimodal.FakeCodec.sampleFrameOffsets(0, 4).isEmpty)
