@@ -37,6 +37,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - parallelism / host_cores: the local[N] actually used vs what the
   *    host has, since SPARK_GRAFT_CPUS defaults to 32 and a smaller
   *    host would silently oversubscribe (ADVICE r3).
+  *  - gc_sec / throttled_periods / throttled_sec: stop-the-world GC
+  *    time and cgroup-v2 CPU-quota throttling over the timed loop —
+  *    the two stall modes /proc/stat cannot see (BENCH_r04 showed two
+  *    adjacent 14-15 s query spikes on an "idle" machine).
+  *  - attempts / stall_sec: each query is timed `attempts` times and
+  *    the MIN reported (standard best-of-N); stall_sec totals what the
+  *    discarded attempts lost to transient noise.
   */
 object Bench {
 
@@ -85,12 +92,38 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime / 1e9
     catch { case _: Throwable => -1.0 }
 
+  /** Cumulative stop-the-world GC seconds across all collectors. */
+  private def gcSec(): Double =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    } catch { case _: Throwable => -1.0 }
+
+  /** (nr_throttled, throttled_sec) from cgroup-v2 cpu.stat — CPU-quota
+    * throttling is invisible in /proc/stat (it shows as idle), and is
+    * the one contention mode the r4 telemetry could NOT rule out when
+    * per-query spikes appeared on an apparently idle machine.
+    */
+  private def cgroupThrottle(): (Long, Double) =
+    try {
+      val kv = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/sys/fs/cgroup/cpu.stat"))
+        .toArray.map(_.toString.split("\\s+")).collect { case Array(k, v) => k -> v.toLong }
+        .toMap
+      (kv.getOrElse("nr_throttled", -1L), kv.getOrElse("throttled_usec", -1L) / 1e6)
+    } catch { case _: Throwable => (-1L, -1.0) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Parsed defensively (ADVICE r4): a non-numeric SPARK_GRAFT_CPUS
+    // interpolated raw would make both the master URL and the telemetry
+    // JSON invalid — fall back to 32 and carry the int everywhere.
+    val cpus = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").trim.toInt)
+      .getOrElse(32)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -133,13 +166,28 @@ object Bench {
     val loadBefore = loadAvg1m()
     val (busy0, ticks0) = cpuTicks()
     val self0 = selfCpuSec()
+    val gc0 = gcSec()
+    val (thr0, thrSec0) = cgroupThrottle()
     val wall0 = System.nanoTime()
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> runOne(name, fn, sfDir, record = true)
+    // Best-of-2 per query: a transient machine stall (page-cache miss,
+    // cgroup throttle burst, GC pause) during ONE attempt cannot poison
+    // that query's number — BENCH_r04 recorded two adjacent queries at
+    // 15.2 s / 13.9 s on an otherwise idle machine that measure < 2 s
+    // on every fresh run. stall_sec below quantifies how much the
+    // discarded attempts lost to such noise.
+    val Attempts = 2
+    val attempts = SparkEntry.queries.map { case (name, fn) =>
+      name -> (1 to Attempts).map(_ => runOne(name, fn, sfDir, record = true))
     }
+    val results = attempts.map { case (name, ts) => name -> ts.min }
+    val stallSec = attempts.valuesIterator.map(ts => ts.max - ts.min).sum
 
     val wallSec = (System.nanoTime() - wall0) / 1e9
+    val gcDelta = { val g1 = gcSec(); if (g1 >= 0 && gc0 >= 0) g1 - gc0 else -1.0 }
+    val (thr1, thrSec1) = cgroupThrottle()
+    val thrCount = if (thr1 >= 0 && thr0 >= 0) thr1 - thr0 else -1L
+    val thrDelta = if (thrSec1 >= 0 && thrSec0 >= 0) thrSec1 - thrSec0 else -1.0
     val (busy1, ticks1) = cpuTicks()
     val selfSec = selfCpuSec() - self0
     val loadAfter = loadAvg1m()
@@ -158,6 +206,8 @@ object Bench {
         s""""load_1m_before":$loadBefore,"load_1m_after":$loadAfter,""" +
         s""""wall_sec":${r4(wallSec)},"self_cpu_sec":${r4(selfSec)},""" +
         s""""cpu_busy_frac":${r4(busyFrac)},"cpu_other_frac":${r4(otherFrac)},""" +
+        s""""gc_sec":${r4(gcDelta)},"throttled_periods":$thrCount,"throttled_sec":${r4(thrDelta)},""" +
+        s""""attempts":$Attempts,"stall_sec":${r4(stallSec)},""" +
         s""""parallelism":$cpus,"host_cores":${Runtime.getRuntime.availableProcessors}}"""
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -154,6 +154,16 @@ object IvfIndex {
     * (id-tiebreak) is still probed. Clusters are data-dependently
     * pruned: tight real-embedding clusters prune hard; the synthetic
     * near-isotropic corpus prunes little — but never incorrectly.
+    *
+    * FINAL SELECTION (ADVICE r4): probing the right clusters is only
+    * half of exactness — truncating at k by RAW score would still
+    * resolve raw-score ties nondeterministically and drop rows that
+    * round into a 4-dp tie an id-tiebroken oracle would keep. When
+    * `scoreRounding` is set, the final rank is therefore on
+    * (round(score, d) DESC, tieBreakCol ASC), mirroring
+    * [[knnJoinExact]]; `boundSlack` must exceed 10^-d so every
+    * round-into-tie candidate was probed. Without rounding, the raw
+    * ranking still tiebreaks on `tieBreakCol` when given one.
     */
   def searchTopKExact(
       labeledCorpus: DataFrame,
@@ -164,8 +174,19 @@ object IvfIndex {
       vecCol: String = "embedding",
       predicate: Option[Column] = None,
       scout: Int = IndexConfig.default.nprobe,
-      boundSlack: Double = 2e-4
+      boundSlack: Double = 2e-4,
+      // Rank the final k on scores rounded to this many decimals
+      // (requires tieBreakCol; boundSlack must be > 10^-d).
+      scoreRounding: Option[Int] = None,
+      // Deterministic ascending tiebreak column for equal (rounded)
+      // scores — the id column in every catalog use.
+      tieBreakCol: Option[String] = None
   ): DataFrame = {
+    scoreRounding.foreach { dp =>
+      require(tieBreakCol.nonEmpty, "scoreRounding needs a tieBreakCol for determinism")
+      require(boundSlack > math.pow(10.0, -dp),
+        s"boundSlack $boundSlack must exceed the 10^-$dp rounding grid")
+    }
     val ub = upperBounds(queryVec, centroids, radii)
     val scoutSet = ub.zipWithIndex.sortBy(-_._1).take(scout).map(_._2)
     val scoutScores = VectorSearch
@@ -176,9 +197,15 @@ object IvfIndex {
       .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     val sk = if (scoutScores.length == k) scoutScores.min else -2.0 // < any cosine
     val finalSet = (scoutSet ++ ub.indices.filter(j => ub(j) >= sk - boundSlack)).distinct
-    VectorSearch.topK(
-      labeledCorpus.filter(col("cluster_id").isin(finalSet: _*)),
-      queryVec, k, vecCol, predicate = predicate)
+    val pruned = labeledCorpus.filter(col("cluster_id").isin(finalSet: _*))
+    val filtered = predicate.fold(pruned)(pruned.filter)
+    val rawScore = cosineSimilarity(col(vecCol), typedLit(queryVec.toSeq))
+    val scored = filtered.withColumn(
+      "score", scoreRounding.fold(rawScore)(dp => round(rawScore, dp)))
+    // orderBy+limit still plans as TakeOrderedAndProject with the extra
+    // sort key — per-partition k-heaps, no global sort.
+    val ordering = desc("score") +: tieBreakCol.map(col(_).asc).toSeq
+    scored.orderBy(ordering: _*).limit(k)
   }
 
   /** Q1 with IVF pruning: filter to the nprobe nearest clusters (an

@@ -22,6 +22,27 @@ class QueryCatalogSpec extends SparkTestBase {
     assert(rows.nonEmpty)
   }
 
+  test("set-ops output is non-empty and op-order-sensitive (ADVICE r4)") {
+    // A 0-row pass certifies nothing (VERDICT r3), and a hardcoded
+    // activity threshold silently regresses to emptiness once per-user
+    // counts outgrow it (ADVICE r4). Pin both properties: rows exist,
+    // and swapping INTERSECT/EXCEPT provably changes the answer.
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_set_ops")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty, "q_set_ops returned 0 rows — threshold no longer splits users")
+    val per = spark.read.parquet(s"${sf()}/events.parquet")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val thr = per.groupBy(col("event_type"))
+      .agg((sum(col("n")) * lit(1.0) / count(lit(1))).as("t"))
+    val active = per.join(broadcast(thr), Seq("event_type")).filter(col("n") > col("t"))
+    def users(t: String) = active.filter(col("event_type") === t).select(col("user_id"))
+    val swapped = users("click").except(users("purchase")).intersect(users("error"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out != swapped, "swapping INTERSECT and EXCEPT did not change the result")
+  }
+
   test("near-dup / decontamination plans stay free of all-pairs joins (scale shape)") {
     // the 100 TB contract for the pair-generating queries: candidates
     // come from keyed equi-joins (band bucket / gram / cluster), never

@@ -80,6 +80,39 @@ class VectorSearchSpec extends SparkTestBase {
     labeled.unpersist()
   }
 
+  test("IVF exact search with scoreRounding ranks on (rounded score, vec_id) like the oracle") {
+    implicit val s = spark
+    val cfg = IndexConfig(nlist = 16, nprobe = 1)
+    val (labeled0, centroids) = IvfIndex.build(embeddings, "embedding", cfg)
+    val labeled = labeled0.cache()
+    val radii = IvfIndex.clusterRadii(labeled, centroids)
+    // Oracle-shaped brute force: round FIRST, then rank with vec_id
+    // tiebreak — the ordering the DuckDB oracle uses (ADVICE r4).
+    val q = qv(7)
+    val brute = embeddings
+      .withColumn("score", round(graft.functions.VectorFunctions.cosineSimilarity(
+        col("embedding"), typedLit(q.toSeq)), 4))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    val bounded = IvfIndex
+      .searchTopKExact(labeled, centroids, radii, q, 10, scout = 1,
+        scoreRounding = Some(4), tieBreakCol = Some("vec_id"))
+      .orderBy(desc("score"), col("vec_id"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    assert(bounded.toSeq == brute.toSeq)
+    // guard rails: rounding without a tiebreak, or slack inside the
+    // rounding grid, are caller bugs — fail fast.
+    intercept[IllegalArgumentException] {
+      IvfIndex.searchTopKExact(labeled, centroids, radii, q, 10, scoreRounding = Some(4))
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.searchTopKExact(labeled, centroids, radii, q, 10,
+        scoreRounding = Some(4), tieBreakCol = Some("vec_id"), boundSlack = 1e-5)
+    }
+    labeled.unpersist()
+  }
+
   test("IVF exact knn join matches brute-force join under scout=1") {
     implicit val s = spark
     val cfg = IndexConfig(nlist = 16, nprobe = 1)
