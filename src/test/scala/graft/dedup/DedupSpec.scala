@@ -121,6 +121,35 @@ class DedupSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("fast (xxh64) and portable (md5) simhash find the same pairs on separated clusters") {
+    import spark.implicits._
+    // Three tight clusters far apart in token space: identical docs,
+    // one-token variants, and disjoint-vocab docs. Clusters like these
+    // sit far from the Hamming cut, so ANY well-mixed 64-bit token hash
+    // must produce the same pair set — a fast path that drifts (bad
+    // seed, truncated hash, bit-order bug) separates here. (On the
+    // dense sf corpora the boundary pairs legitimately differ by hash;
+    // that is why q_simhash_fast is rows-only.)
+    val clusterA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val clusterB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val df = Seq(
+      (1L, clusterA), (2L, clusterA), (3L, clusterA.replace("alpha1 ", "alpha1x ")),
+      (4L, clusterB), (5L, clusterB)
+    ).toDF("id", "text")
+    def pairsOf(portable: Boolean) =
+      Dedup.simHashPairs(df, "id", "text", maxHamming = 8, portableHash = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = pairsOf(portable = false)
+    val md5 = pairsOf(portable = true)
+    assert(fast == md5, s"fast=$fast md5=$md5")
+    assert(fast.contains((1L, 2L)) && fast.contains((4L, 5L)))
+    assert(!fast.exists { case (a, b) => a <= 3 && b >= 4 }) // no cross-cluster pair
+    // identical text must still collide exactly under the fast hash
+    val sigs = df.select(col("id"), Dedup.simHash(col("text")).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L) && sigs(4L) == sigs(5L) && sigs(1L) != sigs(4L))
+  }
+
   test("simhash pairs complete at maxHamming=0 and maxHamming=63 band edges") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v")).toDF("id", "text")
