@@ -58,20 +58,28 @@ object Dedup {
     * Known recompute: the (doc, line) aggregate feeds two branches
     * (global firsts + the stats join), and per-branch column pruning
     * makes the exchanges non-identical, so ReuseExchange cannot dedupe
-    * them — the scan+explode runs twice. Deliberate: the duplicate is
-    * shuffle-free map work, while persisting a tokenized 100 TB corpus
-    * to dodge it costs more than it saves. Callers that already hold
-    * the lines in memory can pre-aggregate and persist themselves.
+    * them — the scan+explode runs twice. Deliberate DEFAULT: the
+    * duplicate is shuffle-free map work, while persisting a tokenized
+    * 100 TB corpus to dodge it costs more than it saves. Memory-rich
+    * callers opt in with `reuse = true` (VERDICT r3 #6): the (doc,
+    * line) aggregate is persisted MEMORY_AND_DISK before branching, so
+    * the scan+explode runs once and both branches read the cache. The
+    * caller owns the cache lifetime (unpersist via
+    * `spark.catalog.clearCache()` or drop the session).
     */
-  def lineDedupStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lineDedupStats(
+      df: DataFrame, idCol: String, textCol: String, reuse: Boolean = false): DataFrame = {
     val lines = df
       .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "\n")).as(Seq("idx", "raw")))
       .withColumn("ln", trim(col("raw")))
       .filter(length(col("ln")) > 0)
       .select("doc_id", "idx", "ln")
-    val docLines = lines
+    val docLines0 = lines
       .groupBy("doc_id", "ln")
       .agg(count(lit(1)).as("c"), min(col("idx")).as("first_idx"))
+    val docLines =
+      if (reuse) docLines0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docLines0
     val firsts = docLines
       .groupBy("ln")
       .agg(min(struct(col("doc_id"), col("first_idx"))).as("first"))

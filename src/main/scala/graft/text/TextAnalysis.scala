@@ -179,10 +179,14 @@ object TextAnalysis {
     * 1-row-job pattern as QualityMonitor.histogram's min/max). The tf
     * aggregate feeds both the df branch and the join; per-branch column
     * pruning defeats ReuseExchange, so the scan+explode runs twice —
-    * deliberate, same reasoning as Dedup.lineDedupStats (shuffle-free
-    * duplicate beats persisting a tokenized corpus).
+    * deliberate DEFAULT, same reasoning as Dedup.lineDedupStats
+    * (shuffle-free duplicate beats persisting a tokenized corpus).
+    * Memory-rich callers opt in with `reuse = true` (VERDICT r3 #6):
+    * the tf aggregate is persisted MEMORY_AND_DISK before branching so
+    * the scan+explode runs once; the caller owns the cache lifetime.
     */
-  def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def topTermsPerDoc(
+      df: DataFrame, idCol: String, textCol: String, k: Int, reuse: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = df.count() // one column-pruned metadata job
     val terms = df
@@ -190,7 +194,10 @@ object TextAnalysis {
         col(idCol).as("doc_id"),
         explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"), t => length(t) > 0)).as("term")
       )
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf0 = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf =
+      if (reuse) tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tf0
     val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
     tf.join(dfCounts, Seq("term"))

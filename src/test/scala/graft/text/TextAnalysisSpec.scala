@@ -86,6 +86,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("topTermsPerDoc reuse knob: one scan through the persisted tf aggregate, same rows") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").select(col("doc_id"), col("text"))
+    def run(reuse: Boolean) = TextAnalysis.topTermsPerDoc(docs, "doc_id", "text", 3, reuse)
+    val expected = run(reuse = false).orderBy("doc_id", "rank").collect().toSeq
+    val reused = run(reuse = true)
+    try {
+      val plan = reused.queryExecution.executedPlan.toString
+      // Both branches must read the cache, and every parquet scan in
+      // the plan string must be the cached relation's (printed once
+      // per InMemoryTableScan) build plan — not a live rescan.
+      val cacheReads = "InMemoryTableScan".r.findAllIn(plan).size
+      val cachedRels = "InMemoryRelation".r.findAllIn(plan).size
+      val fileScans = "Scan parquet".r.findAllIn(plan).size
+      assert(cacheReads >= 2, s"expected both branches cached with reuse=true:\n$plan")
+      assert(fileScans <= cachedRels, s"live parquet rescan outside the cache:\n$plan")
+      assert(reused.orderBy("doc_id", "rank").collect().toSeq == expected)
+    } finally spark.catalog.clearCache()
+  }
+
   test("topTermsPerDoc ranks rare-in-corpus, frequent-in-doc terms first") {
     import spark.implicits._
     val docs = Seq(
