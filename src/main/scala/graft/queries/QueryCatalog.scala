@@ -1029,6 +1029,29 @@ object QueryCatalog {
             FROM scored)
           WHERE rank <= 5 ORDER BY doc_id, rank"""
 
+  /** Deterministic stratified corpus mixing (text.Sampling): per-lang
+    * keep fractions with a default for unlisted strata, membership
+    * decided by an md5-threshold on doc_id — reproducible across
+    * engines/runs/cluster sizes, which is exactly what the oracle
+    * certifies: DuckDB re-derives every row's bucket and the whole
+    * mixture must match row-for-row (not just per-stratum counts).
+    */
+  val qStratifiedSample: Q = (s, dir) =>
+    graft.text.Sampling
+      .stratifiedHashSample(
+        tbl(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.3, "de" -> 0.2), defaultFraction = 0.1)
+      .select(col("doc_id"), col("lang"))
+
+  val qStratifiedSampleSql: String =
+    """SELECT doc_id, lang FROM documents
+       WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT <
+         CASE lang WHEN 'en' THEN 2147483648
+                   WHEN 'zh' THEN 1288490189
+                   WHEN 'de' THEN 858993459
+                   ELSE 429496730 END
+       ORDER BY doc_id"""
+
   val qFingerprint: Q = (s, dir) =>
     tbl(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
@@ -1067,6 +1090,25 @@ object QueryCatalog {
           FROM sh c JOIN sh b ON b.doc_id % 50 = 0 AND c.doc_id <> b.doc_id
           WHERE len(list_intersect(c.s, b.s)) * 1.0 / len(b.s) >= 0.5
           ORDER BY c.doc_id, bench_id"""
+
+  /** Decontamination through the BLOOM-PREFILTERED path
+    * (Dedup.bloomContainmentPairs): a bloom over the benchmark grams
+    * prunes the corpus gram stream at scan stage, before any shuffle —
+    * the shape that survives benchmark suites too large to broadcast
+    * as a full index. Bloom filters have no false negatives and
+    * survivors still pass the exact gram join, so the result is
+    * IDENTICAL to q_decontaminate at any fpp — same DuckDB oracle, and
+    * a green row certifies the whole prefilter+verify pipeline.
+    */
+  val qDecontaminateBloom: Q = (s, dir) => {
+    val docs = rebalanced(tbl(s, dir, "documents"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    Dedup
+      .bloomContainmentPairs(docs, bench, "doc_id", "text", n = 8, threshold = 0.5, fpp = 0.01)
+      .select(col("doc_id"), col("bench_id"), round(col("containment"), 6).as("containment"))
+  }
+
+  val qDecontaminateBloomSql: String = qDecontaminateSql
 
   /** Gopher-style repetition features + keep decision per document.
     * Every fraction is an exact integer ratio rounded at 6 dp, so the
@@ -1761,6 +1803,8 @@ object QueryCatalog {
     "q_pii_scrub" -> qPiiScrub,
     "q_repetition" -> qRepetition,
     "q_decontaminate" -> qDecontaminate,
+    "q_decontaminate_bloom" -> qDecontaminateBloom,
+    "q_stratified_sample" -> qStratifiedSample,
     "q_ann_topk" -> qAnnTopK,
     "q_ann_topk_filtered" -> qAnnTopKFiltered,
     "q_multi_collection" -> qMultiCollection,
@@ -1805,6 +1849,8 @@ object QueryCatalog {
     "q_pii_scrub" -> qPiiScrubSql,
     "q_repetition" -> qRepetitionSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decontaminate_bloom" -> qDecontaminateBloomSql,
+    "q_stratified_sample" -> qStratifiedSampleSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_lang_dist" -> qLangDistSql,
     "q_top_users" -> qTopUsersSql,

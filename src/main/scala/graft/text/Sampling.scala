@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-threshold sampling — the corpus-mixing primitive
+  * a training-data pipeline needs where `df.sample()` does not suffice:
+  * `rand()`-based sampling gives a DIFFERENT subset on every run (and
+  * every retry of a failed task unless the partition layout is frozen),
+  * while a hash threshold on a stable id gives the SAME subset on
+  * every engine, every run, every cluster size — so a data mixture
+  * ("50% en, 25% zh, …") is reproducible across pipeline versions, and
+  * membership can be re-derived row-by-row later (was this doc in the
+  * v3 training set? — recompute its bucket, no manifest needed).
+  *
+  * The bucket is the first 4 bytes (big-endian) of md5 over the id
+  * rendered as a string — the repo's engine-portable hashing idiom
+  * (BASELINE.md, SNIPPETS r2): any engine with md5() reproduces it,
+  * which is what lets the driver's DuckDB oracle replay an entire
+  * stratified sample exactly. md5's cost is amortized to noise at one
+  * hash per ROW (unlike per-token hashing — see Dedup.simHash's fast
+  * path). Scale shape: a scan-stage filter — no shuffle, no window, no
+  * per-stratum pass; the fraction map joins in as a broadcast.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 2^32) derived from the id — deterministic,
+    * engine-portable, uncorrelated with the id's own distribution.
+    */
+  def hashBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long")
+
+  private def thresholdOf(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
+    math.round(fraction * 4294967296.0) // 2^32; round once, both engines compare to the same literal
+  }
+
+  /** Keep ~`fraction` of rows, deterministically by id hash. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < lit(thresholdOf(fraction)))
+
+  /** Stratified mixture: per-stratum keep fractions (strata absent from
+    * the map keep `defaultFraction`). One scan, one broadcast join of a
+    * #strata-row threshold table — no per-stratum jobs, no shuffle.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thr = fractions.toSeq
+      .map { case (k, f) => (k, thresholdOf(f)) }
+      .toDF(strataCol, "__thr")
+    df.join(broadcast(thr), Seq(strataCol), "left")
+      .withColumn("__thr", coalesce(col("__thr"), lit(thresholdOf(defaultFraction))))
+      .filter(hashBucket(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
+}

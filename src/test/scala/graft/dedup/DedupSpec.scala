@@ -144,6 +144,29 @@ class DedupSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("bloom-prefiltered decontamination equals the exact path (no false negatives)") {
+    import spark.implicits._
+    val benchDoc = (1 to 20).map(i => s"bench$i").mkString(" ") // 13 distinct 8-grams
+    val leaked = ((1 to 20).map(i => s"bench$i") ++ (1 to 5).map(i => s"pad$i")).mkString(" ")
+    val partial = ((1 to 10).map(i => s"bench$i") ++ (1 to 15).map(i => s"other$i")).mkString(" ")
+    val clean = (1 to 25).map(i => s"clean$i").mkString(" ")
+    val corpus = Seq((1L, leaked), (2L, partial), (3L, clean), (100L, benchDoc)).toDF("id", "text")
+    val bench = corpus.filter(col("id") === 100L)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = key(Dedup.containmentPairs(corpus, bench, "id", "text", n = 8, threshold = 0.5))
+    // leaked contains all 13 bench grams (containment 1.0); partial has
+    // 3 of 13 (the 8-grams fully inside bench1..bench10) < 0.5; clean 0
+    assert(exact.map(t => (t._1, t._2)) == Set((1L, 100L)))
+    // identical at a loose AND a tight fpp — false positives only cost
+    // join input, never results
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloom = key(
+        Dedup.bloomContainmentPairs(corpus, bench, "id", "text", n = 8, threshold = 0.5, fpp = fpp))
+      assert(bloom == exact, s"fpp=$fpp bloom=$bloom exact=$exact")
+    }
+  }
+
   test("fast (xxh64) and portable (md5) simhash find the same pairs on separated clusters") {
     import spark.implicits._
     // Three tight clusters far apart in token space: identical docs,

@@ -1,0 +1,52 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("hashSample is deterministic, id-stable, and close to the target fraction") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(a == b) // same subset on every run — no rand()
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.15, s"kept ${a.size}/$n for fraction 0.3")
+    // monotone: a larger fraction strictly contains the smaller sample
+    val wider = Sampling.hashSample(docs, "doc_id", 0.6).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))
+    // fraction edges keep nothing / everything
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0)
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == n)
+  }
+
+  test("stratifiedHashSample applies per-stratum fractions and the default") {
+    val out = Sampling
+      .stratifiedHashSample(docs, "lang", "doc_id", Map("en" -> 1.0, "zh" -> 0.0),
+        defaultFraction = 0.5)
+      .collect()
+    val byLang = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == totals("en")) // fraction 1.0 keeps every row
+    assert(!byLang.contains("zh")) // fraction 0.0 keeps none
+    for (l <- totals.keySet -- Set("en", "zh")) // default applies to unlisted strata
+      assert(byLang.getOrElse(l, 0) > 0 && byLang(l) < totals(l), s"default fraction on $l")
+    // membership is per-id, not per-partition: the same ids survive in
+    // the flat sample at the same fraction
+    val flat = Sampling.hashSample(docs.filter(col("lang") =!= "en" && col("lang") =!= "zh"),
+      "doc_id", 0.5).collect().map(_.getLong(0)).toSet
+    val strat = out.filter(r => r.getAs[String]("lang") != "en").map(_.getAs[Long]("doc_id")).toSet
+    assert(strat == flat)
+  }
+
+  test("sampling is a scan-stage filter: no shuffle of the data side") {
+    val plan = Sampling
+      .stratifiedHashSample(docs, "lang", "doc_id", Map("en" -> 0.5), defaultFraction = 0.1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"fraction table should broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"), s"data side must not shuffle:\n$plan")
+  }
+}
