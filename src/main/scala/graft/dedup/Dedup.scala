@@ -333,6 +333,78 @@ object Dedup {
       .select("doc_id", "bench_id", "containment")
   }
 
+  /** Connected components over a near-dup PAIR list — the step that
+    * turns pairwise candidates into an actionable dedup: docs A–B and
+    * B–C are the same cluster even though A–C never surfaced as a
+    * pair, and keep-one-per-cluster must see that. Returns
+    * (id, cluster_id) for every id appearing in `pairs`, cluster_id =
+    * the smallest id in the component (deterministic representative).
+    *
+    * Algorithm: min-label propagation — every node starts labeled with
+    * itself; each round every node takes the min label across its
+    * neighbors; converged when no label changed. Labels only decrease,
+    * so convergence is monotone; rounds needed = graph diameter. LSH
+    * pair sets are clique-ish (every member of a dup group pairs with
+    * most others), so diameters are tiny in practice; for adversarial
+    * chain-shaped graphs at web scale the alternating small-star/
+    * large-star variant (Kiveris et al., "Connected Components in
+    * MapReduce") converges in O(log n) rounds and drops in behind the
+    * same interface. Each round is one keyed join + min-aggregate —
+    * all shuffles keyed by node id, no driver-side graph. Lineage is
+    * truncated per round with an eager localCheckpoint (iterative
+    * plans otherwise double in depth every round); the convergence
+    * check rides the same materialization.
+    */
+  def nearDupClusters(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 25
+  ): DataFrame = {
+    val edges = pairs
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges
+        .join(labels.select(col("id").as("src"), col("cluster_id")), Seq("src"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels
+        .unionByName(prop)
+        .groupBy("id")
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "__prev"), Seq("id"))
+        .filter(col("cluster_id") < col("__prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIter rounds — graph diameter exceeds the " +
+          "bound; raise maxIter or switch to the small-star/large-star variant")
+    labels
+  }
+
+  /** Keep-one-per-cluster dedup: drop every row whose id belongs to a
+    * near-dup cluster but is not its (min-id) representative.
+    * Singletons — ids never appearing in `pairs` — are kept untouched.
+    */
+  def dedupByNearDup(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = nearDupClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard over two (distinct-element) array columns. */
   def jaccardExpr(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

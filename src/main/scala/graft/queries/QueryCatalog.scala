@@ -817,6 +817,51 @@ object QueryCatalog {
                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
           ORDER BY id_a, id_b"""
 
+  /** Near-dup CLUSTER assignment: connected components over the
+    * exact-verified MinHash-LSH pair list (Dedup.nearDupClusters),
+    * cluster id = min doc_id in the component. The oracle recomputes
+    * the transitive closure from scratch in DuckDB — exhaustive
+    * 3-gram-Jaccard pairs (the q_minhash_lsh universe), symmetric
+    * edges, a recursive CTE for reachability, then min over the
+    * reachable set — so a green row certifies BOTH that the pair list
+    * still has recall 1.0 AND that the distributed label propagation
+    * computed the same components as a from-first-principles closure.
+    */
+  val qDedupClusters: Q = (s, dir) => {
+    val pairs = Dedup.minHashLshPairs(
+      rebalanced(tbl(s, dir, "documents")), "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.8)
+    Dedup.nearDupClusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  val qDedupClustersSql: String =
+    raw"""WITH RECURSIVE t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+            FROM documents),
+          sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                        WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(range(1, len(toks) - 1),
+                                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+            FROM t),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+              AND len(list_intersect(a.s, b.s)) * 1.0 /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src ORDER BY doc_id"""
+
   /** SimHash near-dup pairs, PORTABLE hash: the token hash is MD5-based
     * (see Dedup.tokenHash64) precisely so the 64-bit signatures — and
     * therefore the Hamming-distance pair set — are reproducible in the
@@ -1789,6 +1834,7 @@ object QueryCatalog {
     "q_line_dedup" -> qLineDedup,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_lsh" -> qMinHashLsh,
+    "q_dedup_clusters" -> qDedupClusters,
     "q_simhash" -> qSimHash,
     "q_simhash_fast" -> qSimHashFast,
     "q_embed_neardup" -> qEmbedNearDup,
@@ -1844,6 +1890,7 @@ object QueryCatalog {
     "q_line_dedup" -> qLineDedupSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinHashLshSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
     "q_simhash" -> qSimHashSql,
     "q_langid_ngram" -> qLangIdNgramSql,
     "q_pii_scrub" -> qPiiScrubSql,

@@ -144,6 +144,27 @@ class DedupSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("near-dup clusters: chains close transitively, representatives are min-id") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3 (1-3 never paired — the
+    // case pairwise dedup gets wrong), {7,9}, and 5 as a singleton
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+
+    val df = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val kept = Dedup.dedupByNearDup(df, "doc_id", pairs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 7L)) // one rep per cluster + untouched singleton
+
+    // a long chain still converges (diameter > 2 exercises iteration)
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("id_a", "id_b")
+    val chainGot = Dedup.nearDupClusters(chain).collect().map(r => r.getLong(1)).distinct
+    assert(chainGot.toSeq == Seq(1L))
+
+    assert(Dedup.nearDupClusters(pairs.limit(0)).count() == 0) // empty pair list
+  }
+
   test("bloom-prefiltered decontamination equals the exact path (no false negatives)") {
     import spark.implicits._
     val benchDoc = (1 to 20).map(i => s"bench$i").mkString(" ") // 13 distinct 8-grams
