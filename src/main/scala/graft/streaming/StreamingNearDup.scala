@@ -1,0 +1,161 @@
+package graft.streaming
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One banded LSH observation flowing through the stream: a document's
+  * id, its full MinHash signature, and ONE (band, bucket) key derived
+  * from it.
+  */
+final case class BandObs(band: Int, bucket: Long, id: Long, sig: Seq[Long])
+
+/** A streaming near-dup candidate: `id` collided with the earlier
+  * `dup_of` in some LSH band and their signature agreement estimates
+  * Jaccard ≥ the threshold.
+  */
+final case class NearDupHit(id: Long, dup_of: Long, est_jaccard: Double)
+
+/** Streaming (cross-micro-batch) NEAR-duplicate detection — the fuzzy
+  * counterpart of [[StreamingDedup]]: a paraphrased or lightly-edited
+  * copy arriving three micro-batches after the original must still be
+  * flagged, which per-batch `Dedup.minHashLshPairs` cannot do.
+  *
+  * Spark-first shape: the batch LSH banding is reused verbatim
+  * (signature UDF → band keys), and the cross-batch memory is a
+  * `flatMapGroupsWithState` keyed by (band, bucket) — the SAME key the
+  * batch path shuffles on, so state is uniform-hash distributed with
+  * no hot keys. Each bucket's state holds up to `maxPerBucket`
+  * (id, signature) entries FIFO; a new arrival is compared (signature
+  * agreement — the standard MinHash Jaccard estimator) against the
+  * bucket's residents and emits a [[NearDupHit]] per match.
+  *
+  * Semantics vs batch: the batch path exact-verifies candidates with
+  * true shingle Jaccard; a stream cannot re-tokenize documents it no
+  * longer holds, so the streaming tier reports the signature ESTIMATE
+  * (documented on the output column name). Same band/threshold maths,
+  * same recall bound; route the surviving hits to the batch verifier
+  * if exactness matters downstream.
+  *
+  * The same hit can surface from multiple bands; the emitter dedups
+  * WITHIN a micro-batch (per band-group output is distinct by
+  * construction, cross-band dups removed by the caller's per-batch
+  * `dropDuplicates` — kept OUT of this operator so it stays a single
+  * stateful stage; chaining two stateful operators in one streaming
+  * query is where streaming plans go to die).
+  *
+  * At 100 TB: state = maxPerBucket signatures × occupied buckets.
+  * Bound it with `timeout` (processing-time TTL per bucket — cold
+  * buckets age out) and RocksDB state store; recall degrades only for
+  * duplicates farther apart in time than the TTL, the same
+  * state/recall trade [[StreamingDedup.exactStreamingDedupBounded]]
+  * makes with its watermark.
+  */
+object StreamingNearDup {
+
+  /** Explode a (id, text) stream into per-band LSH observations.
+    * One row per (doc, band): the banding is positional over the
+    * signature — identical to the batch `minHashLshPairs` banding, so
+    * stream and batch agree on what "collides" means.
+    */
+  def bandObservations(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8
+  ): Dataset[BandObs] = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rowsPerBand = numHashes / bands
+    implicit val enc = Encoders.product[BandObs]
+    docs
+      .select(
+        col(idCol).cast("long").as("id"),
+        Dedup.minHashSignatureFromText(col(textCol), shingleSize, numHashes).as("sig")
+      )
+      .select(
+        col("id"), col("sig"),
+        posexplode(
+          array((0 until bands).map { b =>
+            // bucket = xxhash64 over the band's signature slice
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+          }: _*)
+        ).as(Seq("band", "bucket"))
+      )
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+      .as[BandObs]
+  }
+
+  /** Signature-agreement Jaccard estimate (share of equal minhash
+    * slots).
+    */
+  private[streaming] def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    var eq = 0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  /** The stateful core: per (band, bucket), remember up to
+    * `maxPerBucket` residents and emit a hit for every new arrival
+    * whose estimated Jaccard against a resident clears the threshold.
+    * Within a micro-batch arrivals are processed in id order, so
+    * output is deterministic; `dup_of` is always the EARLIER-seen id.
+    * Also correct in plain batch execution (state starts empty).
+    */
+  def nearDupHits(
+      obs: Dataset[BandObs],
+      jaccardThreshold: Double = 0.8,
+      maxPerBucket: Int = 64,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
+      ttlMs: Long = 0L
+  ): Dataset[NearDupHit] = {
+    implicit val hitEnc = Encoders.product[NearDupHit]
+    implicit val stateEnc = Encoders.kryo[List[(Long, Seq[Long])]]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    obs
+      .groupByKey(o => (o.band, o.bucket))
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupHit](OutputMode.Append(), timeout) {
+        (_: (Int, Long), rows: Iterator[BandObs], state: GroupState[List[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var residents = state.getOption.getOrElse(Nil)
+            val hits = List.newBuilder[NearDupHit]
+            rows.toSeq.sortBy(_.id).foreach { o =>
+              if (!residents.exists(_._1 == o.id)) {
+                residents.foreach { case (rid, rsig) =>
+                  val est = estJaccard(o.sig, rsig)
+                  if (est >= jaccardThreshold) hits += NearDupHit(o.id, rid, est)
+                }
+                residents = (residents :+ (o.id -> o.sig)).takeRight(maxPerBucket)
+              }
+            }
+            state.update(residents)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            hits.result().iterator
+          }
+      }
+  }
+
+  /** Convenience end-to-end: (id, text) stream → cross-batch near-dup
+    * hits. See the class doc for the cross-band duplicate contract.
+    */
+  def detect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      jaccardThreshold: Double = 0.8,
+      maxPerBucket: Int = 64
+  ): Dataset[NearDupHit] =
+    nearDupHits(
+      bandObservations(docs, idCol, textCol, shingleSize, numHashes, bands),
+      jaccardThreshold, maxPerBucket)
+}
