@@ -300,6 +300,15 @@ object Dedup {
     * exact oracle, and the spec asserts equality with the exact path.
     * Spark's `DataFrameStatFunctions.bloomFilter` builds the filter as
     * a treeAggregate over the gram stream (no driver-side item list).
+    *
+    * The gram equi-join carries NO broadcast hint: exactly in the
+    * regime that motivates this function the benchmark index outgrows
+    * broadcast, and a forced hint would OOM the driver. While the index
+    * is small AQE picks a broadcast join on its own; past the threshold
+    * it degrades to a shuffle join over the bloom-pruned (tiny)
+    * survivor stream. Only bSizes (one row per benchmark item) keeps
+    * the hint. The bloom check itself runs INSIDE the shingle UDF,
+    * before the explode — pruned grams never become rows at all.
     */
   def bloomContainmentPairs(
       corpus: DataFrame,
@@ -317,13 +326,19 @@ object Dedup {
     val nGrams = math.max(1L, bGrams.count())
     val bloom = bGrams.stat.bloomFilter("g", nGrams, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => g != null && bloomB.value.mightContainString(g))
+    val prunedShingles = udf { (text: String) =>
+      val seen = new java.util.LinkedHashSet[String]
+      val bf = bloomB.value
+      shingleArray(text, n).foreach(g => if (bf.mightContainString(g)) seen.add(g))
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq
+    }
     val bSizes = b.select(col("bench_id"), size(col("gs")).as("bench_sz"))
     val cEx = corpus
-      .select(col(idCol).as("doc_id"), explode(distinctShingles(col(textCol), n)).as("g"))
-      .filter(mightContain(col("g"))) // scan-stage prune, before any shuffle
+      .select(col(idCol).as("doc_id"),
+        explode(prunedShingles.asNondeterministic()(col(textCol))).as("g"))
     cEx
-      .join(broadcast(bEx), Seq("g"))
+      .join(bEx, Seq("g"))
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("inter"))

@@ -105,14 +105,23 @@ object StreamingNearDup {
     * Within a micro-batch arrivals are processed in id order, so
     * output is deterministic; `dup_of` is always the EARLIER-seen id.
     * Also correct in plain batch execution (state starts empty).
+    *
+    * `ttlMs > 0` bounds bucket-state lifetime: the timeout MODE is
+    * derived from it (ProcessingTimeTimeout iff ttlMs > 0), so the two
+    * can never disagree — a caller-supplied mode could pair NoTimeout
+    * with a positive TTL (setTimeoutDuration throws at runtime) or
+    * ProcessingTimeTimeout with ttlMs=0 (state never expires despite
+    * the documented bound).
     */
   def nearDupHits(
       obs: Dataset[BandObs],
       jaccardThreshold: Double = 0.8,
       maxPerBucket: Int = 64,
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
       ttlMs: Long = 0L
   ): Dataset[NearDupHit] = {
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     implicit val hitEnc = Encoders.product[NearDupHit]
     implicit val stateEnc = Encoders.kryo[List[(Long, Seq[Long])]]
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
