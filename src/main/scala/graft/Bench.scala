@@ -139,17 +139,23 @@ object Bench {
         case c if c < ' '  => f"\\u${c.toInt}%04x"
         case c             => c.toString
       }
-    def runOne(name: String, fn: (SparkSession, String) => DataFrame, dir: String, record: Boolean): Double = {
+    // Returns (seconds, succeeded). Success matters to the caller: a
+    // fast-FAILING attempt (e.g. a 0.1 s exception) must not become the
+    // reported best-of-N time for a query whose other attempt succeeded
+    // — that would understate runtime with only the errors map hinting.
+    def runOne(name: String, fn: (SparkSession, String) => DataFrame, dir: String, record: Boolean): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, dir).write.mode("overwrite").format("noop").save()
-      catch {
-        case e: Throwable =>
-          if (record) {
-            errors(name) = (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(300)
-            System.err.println(s"[bench] $name FAILED: $e")
-          }
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, dir).write.mode("overwrite").format("noop").save(); true }
+        catch {
+          case e: Throwable =>
+            if (record) {
+              errors(name) = (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(300)
+              System.err.println(s"[bench] $name FAILED: $e")
+            }
+            false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     // untimed warm-up: full query set once at the smallest sibling sf
@@ -180,8 +186,14 @@ object Bench {
     val attempts = SparkEntry.queries.map { case (name, fn) =>
       name -> (1 to Attempts).map(_ => runOne(name, fn, sfDir, record = true))
     }
-    val results = attempts.map { case (name, ts) => name -> ts.min }
-    val stallSec = attempts.valuesIterator.map(ts => ts.max - ts.min).sum
+    // min over SUCCESSFUL attempts only; a query whose every attempt
+    // failed reports its (fastest) failure time and sits in `errors`.
+    val results = attempts.map { case (name, ts) =>
+      val ok = ts.collect { case (t, true) => t }
+      name -> (if (ok.nonEmpty) ok.min else ts.map(_._1).min)
+    }
+    val stallSec = attempts.valuesIterator
+      .map(_.map(_._1)).map(ts => ts.max - ts.min).sum
 
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val gcDelta = { val g1 = gcSec(); if (g1 >= 0 && gc0 >= 0) g1 - gc0 else -1.0 }

@@ -8,7 +8,7 @@ import graft.functions.VectorFunctions._
 import graft.lang.LanguageDetect
 import graft.model.{ChunkerConfig, FieldCaps}
 import graft.quality.QualityMonitor
-import graft.search.{IvfIndex, VectorSearch}
+import graft.search.{HybridSearch, IvfIndex, KeywordSearch, ScalarQuant, VectorSearch}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1798,6 +1798,117 @@ object QueryCatalog {
   // Catalog
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // Keyword (BM25), hybrid RRF fusion, scalar-quantized ANN
+  // ---------------------------------------------------------------
+
+  /** Query terms for the BM25/hybrid rows: one rare discriminative
+    * term (df≈25/500) + one common term (df≈500/500), so the idf
+    * weighting — not just tf — decides the ranking.
+    */
+  private val Bm25Terms = Seq("dup", "vector")
+
+  /** BM25 top-10 over `documents` — single scan + 1-row stats
+    * broadcast + TakeOrdered; rational idf so the oracle replays the
+    * score bit-for-bit (see KeywordSearch scaladoc).
+    */
+  val qBm25TopK: Q = (s, dir) =>
+    KeywordSearch.bm25TopK(tbl(s, dir, "documents"), Bm25Terms, 10, rationalIdf = true)
+
+  val qBm25TopKSql: String =
+    raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS t FROM documents),
+         base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+                         CAST(len(list_filter(t, x -> x = 'dup')) AS DOUBLE) AS tf0,
+                         CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf1
+                  FROM toks),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
+                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+                FROM base),
+         ks AS (SELECT doc_id, CAST(tf0 AS INT) AS tf_dup, CAST(tf1 AS INT) AS tf_vector,
+                  (CASE WHEN tf0 > 0 THEN ((n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE)) * (tf0 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf0 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) ELSE 0.0::DOUBLE END)
+                + (CASE WHEN tf1 > 0 THEN ((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE)) * (tf1 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf1 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) ELSE 0.0::DOUBLE END) AS s
+                FROM base CROSS JOIN st)
+       SELECT doc_id, tf_dup, tf_vector, round(s, 6) AS score
+       FROM ks WHERE s > 0 ORDER BY round(s, 6) DESC, doc_id LIMIT 10"""
+
+  /** Hybrid retrieval: RRF fusion of dense top-20 (cosine vs the
+    * vec_id=0 query) and BM25 top-20 over the same id space — the
+    * hybrid mode modern vector stores serve next to dense-only search.
+    * Output keeps both per-retriever ranks (null where a doc appears
+    * in only one list).
+    */
+  val qHybridRrf: Q = (s, dir) => {
+    val qv = vecOf(s, dir, 0L)
+    val vecTop = tbl(s, dir, "embeddings")
+      .withColumn("score", round(cosineSimilarity(col("embedding"), typedLit(qv.toSeq)), 4))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(20)
+      .select(col("vec_id").as("doc_id"), col("score"))
+    val vecRank = HybridSearch
+      .withRank(vecTop, Seq(desc("score"), col("doc_id")))
+      .select("doc_id", "rank")
+    val kwTop = KeywordSearch.bm25TopK(tbl(s, dir, "documents"), Bm25Terms, 20, rationalIdf = true)
+    val kwRank = HybridSearch
+      .withRank(kwTop, Seq(desc("score"), col("doc_id")))
+      .select("doc_id", "rank")
+    HybridSearch.rrfFuse(Seq("vec" -> vecRank, "kw" -> kwRank), 10)
+  }
+
+  val qHybridRrfSql: String =
+    raw"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         vs AS (SELECT vec_id AS doc_id,
+                  round(list_dot_product(embedding::DOUBLE[], qv) / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(qv, qv))), 4) AS score
+                FROM embeddings, q),
+         vtop AS (SELECT doc_id, score FROM vs ORDER BY score DESC, doc_id LIMIT 20),
+         vr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_vec FROM vtop),
+         toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS t FROM documents),
+         base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+                         CAST(len(list_filter(t, x -> x = 'dup')) AS DOUBLE) AS tf0,
+                         CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf1
+                  FROM toks),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
+                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+                FROM base),
+         ks AS (SELECT doc_id,
+                  (CASE WHEN tf0 > 0 THEN ((n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE)) * (tf0 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf0 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) ELSE 0.0::DOUBLE END)
+                + (CASE WHEN tf1 > 0 THEN ((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE)) * (tf1 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf1 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) ELSE 0.0::DOUBLE END) AS s
+                FROM base CROSS JOIN st),
+         ktop AS (SELECT doc_id, round(s, 6) AS score FROM ks WHERE s > 0 ORDER BY round(s, 6) DESC, doc_id LIMIT 20),
+         kr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_kw FROM ktop)
+       SELECT coalesce(vr.doc_id, kr.doc_id) AS doc_id, rank_vec, rank_kw,
+              round(coalesce(1.0::DOUBLE / (60 + rank_vec), 0.0::DOUBLE) + coalesce(1.0::DOUBLE / (60 + rank_kw), 0.0::DOUBLE), 6) AS rrf
+       FROM vr FULL OUTER JOIN kr ON vr.doc_id = kr.doc_id
+       ORDER BY rrf DESC, doc_id LIMIT 10"""
+
+  /** SQ8 scalar-quantized asymmetric top-10: fit per-dim [min,max],
+    * encode the corpus to 8-bit codes, dequantize to midpoints and
+    * score against the full-precision query. The oracle replays the
+    * ENTIRE quantize→decode→score chain, so even the quantization
+    * error must match bit-for-bit.
+    */
+  val qSq8TopK: Q = (s, dir) =>
+    ScalarQuant
+      .quantizedTopK(tbl(s, dir, "embeddings"), vecOf(s, dir, 0L), 10)
+      .select("vec_id", "label", "score")
+
+  val qSq8TopKSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         flat AS (SELECT u.i AS i, min(v[u.i]) AS mn, max(v[u.i]) AS mx FROM e, unnest(range(1, len(v)+1)) AS u(i) GROUP BY 1),
+         st AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM flat),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         dec AS (SELECT vec_id, label,
+           list_transform(range(1, len(v)+1), i ->
+             mns[i] + ((CASE WHEN mxs[i] = mns[i] THEN 0 ELSE LEAST(255, GREATEST(0, floor((v[i] - mns[i]) * 255 / (mxs[i] - mns[i])))) END) + 0.5) * (mxs[i] - mns[i]) / 255) AS dv
+           FROM e CROSS JOIN st),
+         scored AS (SELECT vec_id, label,
+           round(list_dot_product(dv, qv) / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qv, qv))), 4) AS score
+           FROM dec CROSS JOIN q)
+       SELECT vec_id, label, score FROM scored ORDER BY score DESC, vec_id LIMIT 10"""
+
   /** Load-side preparation for a scale-factor dir: build + cache the
     * IVF index (the reference builds its index at insert time,
     * milvus_store.py:110-136 — searches never pay it). Benchmarks call
@@ -1853,6 +1964,9 @@ object QueryCatalog {
     "q_stratified_sample" -> qStratifiedSample,
     "q_ann_topk" -> qAnnTopK,
     "q_ann_topk_filtered" -> qAnnTopKFiltered,
+    "q_bm25_topk" -> qBm25TopK,
+    "q_hybrid_rrf" -> qHybridRrf,
+    "q_sq8_topk" -> qSq8TopK,
     "q_multi_collection" -> qMultiCollection,
     "q_knn_join" -> qKnnJoin,
     "q_ivf_search" -> qIvfSearch,
@@ -1908,6 +2022,9 @@ object QueryCatalog {
     "q_tfidf_topk" -> qTfidfTopkSql,
     "q_ann_topk" -> qAnnTopKSql,
     "q_ann_topk_filtered" -> qAnnTopKFilteredSql,
+    "q_bm25_topk" -> qBm25TopKSql,
+    "q_hybrid_rrf" -> qHybridRrfSql,
+    "q_sq8_topk" -> qSq8TopKSql,
     "q_multi_collection" -> qMultiCollectionSql,
     "q_knn_join" -> qKnnJoinSql,
     "q_ivf_search" -> qIvfSearchSql,
