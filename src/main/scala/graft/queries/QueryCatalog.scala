@@ -8,7 +8,7 @@ import graft.functions.VectorFunctions._
 import graft.lang.LanguageDetect
 import graft.model.{ChunkerConfig, FieldCaps}
 import graft.quality.QualityMonitor
-import graft.search.{HybridSearch, IvfIndex, KeywordSearch, ScalarQuant, VectorSearch}
+import graft.search.{HybridSearch, IvfIndex, KeywordSearch, ProductQuant, ScalarQuant, VectorSearch}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1909,15 +1909,107 @@ object QueryCatalog {
            FROM dec CROSS JOIN q)
        SELECT vec_id, label, score FROM scored ORDER BY score DESC, vec_id LIMIT 10"""
 
+  /** Range search over the embeddings (Milvus `radius`/`range_filter`
+    * mode): all rows with cosine score in [0.15, 0.35) — a pure
+    * scan-stage filter, no top-k heap, no shuffle; the upper bound
+    * also proves the query vector itself (score 1.0) is excluded.
+    */
+  val qRangeSearch: Q = (s, dir) =>
+    VectorSearch
+      .rangeSearch(tbl(s, dir, "embeddings"), vecOf(s, dir, 0L), 0.15, Some(0.35))
+      .select("vec_id", "label", "score")
+
+  val qRangeSearchSql: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id, label,
+             round(list_dot_product(embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(qv, qv))), 4) AS score
+           FROM embeddings, q)
+       SELECT vec_id, label, score FROM scored
+       WHERE score >= 0.15::DOUBLE AND score < 0.35::DOUBLE ORDER BY vec_id"""
+
+  /** Grouping search (Milvus `group_by_field`): best hit per label for
+    * the top-5 labels — per-group top-1 window that Spark rewrites to
+    * WindowGroupLimit (map-side one-row-per-group pruning before the
+    * shuffle).
+    */
+  val qGroupSearch: Q = (s, dir) =>
+    VectorSearch
+      .groupedTopK(tbl(s, dir, "embeddings"), vecOf(s, dir, 0L), "label", 5)
+      .select("label", "vec_id", "score")
+
+  val qGroupSearchSql: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id, label,
+             round(list_dot_product(embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(qv, qv))), 4) AS score
+           FROM embeddings, q),
+         best AS (
+           SELECT label, vec_id, score,
+                  row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS rn
+           FROM scored)
+       SELECT label, vec_id, score FROM best WHERE rn = 1
+       ORDER BY score DESC, label LIMIT 5"""
+
+  /** PQ artifacts per sf dir (encoded corpus + codebooks), built once —
+    * same contract as ivfCache: index build is load-side work.
+    */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Array[Array[Array[Double]]])]
+
+  private def pqIndexFor(s: SparkSession, dir: String): (DataFrame, Array[Array[Array[Double]]]) =
+    pqCache.getOrElseUpdate(
+      dir, {
+        val e = tbl(s, dir, "embeddings")
+        // m=16 · ksub=256 (16 B/vec = 16× compression): the probed
+        // frontier that holds recall@10 = 10/10 at every shipped sf on
+        // these isotropic synthetic embeddings — the hardest PQ case,
+        // since iid dims leave no correlated structure for the
+        // subspace codebooks to exploit (tools/PqProbe sweep).
+        val cbs = ProductQuant.fit(e, m = 16)
+        (ProductQuant.encode(e, cbs).cache(), cbs)
+      }
+    )
+
+  /** Recall@10 of PQ ADC-shortlist-then-exact-rerank vs exact search —
+    * same evidence contract as q_ivf_recall: the assertion (≥9/10
+    * overlap) is computed distributed in Spark; the oracle pins the
+    * asserted value so the row goes red the moment ADC quality
+    * regresses. KMeans codebooks are engine-specific, so the ranking
+    * itself is not DuckDB-replayable — the RECALL is the
+    * engine-independent claim.
+    */
+  val qPqRecall: Q = (s, dir) => {
+    val (encoded, cbs) = pqIndexFor(s, dir)
+    val q = vecOf(s, dir, 0L)
+    val pq = ProductQuant.adcTopK(encoded, cbs, q, 10, shortlist = 100).select("vec_id")
+    val exact = encoded
+      .withColumn("score", round(cosineSimilarity(col("embedding"), typedLit(q.toSeq)), 4))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+      .select("vec_id")
+    pq.intersect(exact)
+      .agg(count(lit(1)).cast("int").as("overlap"))
+      .select(lit(10).as("k"), (col("overlap") >= 9).as("recall_ok"))
+  }
+
+  val qPqRecallSql: String =
+    "SELECT CAST(10 AS INT) AS k, true AS recall_ok"
+
   /** Load-side preparation for a scale-factor dir: build + cache the
-    * IVF index (the reference builds its index at insert time,
-    * milvus_store.py:110-136 — searches never pay it). Benchmarks call
-    * this before timing so whichever IVF query happens to run first
-    * doesn't absorb the one-time KMeans build.
+    * IVF index and the PQ codebooks/codes (the reference builds its
+    * index at insert time, milvus_store.py:110-136 — searches never
+    * pay it). Benchmarks call this before timing so whichever
+    * index-backed query happens to run first doesn't absorb the
+    * one-time KMeans builds.
     */
   def prepare(s: SparkSession, dir: String): Unit = {
     val (labeled, _, _) = ivfIndexFor(s, dir)
     labeled.count() // force the KMeans fit + radii pass + populate the cache
+    val (encoded, _) = pqIndexFor(s, dir)
+    encoded.count() // force the PQ fits + encode pass
     ()
   }
 
@@ -1967,6 +2059,9 @@ object QueryCatalog {
     "q_bm25_topk" -> qBm25TopK,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_sq8_topk" -> qSq8TopK,
+    "q_range_search" -> qRangeSearch,
+    "q_group_search" -> qGroupSearch,
+    "q_pq_recall" -> qPqRecall,
     "q_multi_collection" -> qMultiCollection,
     "q_knn_join" -> qKnnJoin,
     "q_ivf_search" -> qIvfSearch,
@@ -2025,6 +2120,9 @@ object QueryCatalog {
     "q_bm25_topk" -> qBm25TopKSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_sq8_topk" -> qSq8TopKSql,
+    "q_range_search" -> qRangeSearchSql,
+    "q_group_search" -> qGroupSearchSql,
+    "q_pq_recall" -> qPqRecallSql,
     "q_multi_collection" -> qMultiCollectionSql,
     "q_knn_join" -> qKnnJoinSql,
     "q_ivf_search" -> qIvfSearchSql,

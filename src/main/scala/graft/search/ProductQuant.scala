@@ -1,0 +1,169 @@
+package graft.search
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) with asymmetric-distance (ADC) search —
+  * the third member of the compression family next to [[IvfIndex]]
+  * (pruning) and [[ScalarQuant]] (4× SQ8): dimensions are split into
+  * `m` subspaces, each subspace gets its own tiny KMeans codebook
+  * (`ksub` entries), and a vector is stored as `m` small codes — 64
+  * float dims (256 B) become 8 codes (8 B at ksub=256, 4 B packed at
+  * ksub=16). The reference's store exposes IVF_FLAT only
+  * (milvus_store.py:110-136); PQ is its standard memory-bound upgrade
+  * (FAISS IVFPQ / Milvus IVF_PQ) and the shape that lets 100 TB of
+  * raw vectors live as ~3–12 TB of codes in page cache.
+  *
+  * Everything is trained/encoded on L2-NORMALIZED vectors, so the ADC
+  * inner product Σ_j q̂_j·cb[j][code_j] approximates cos(q, x) directly
+  * (the embeddings.py:36 COSINE≡dot identity the rest of the search
+  * stack already relies on).
+  *
+  * 100 TB shape: `fit` runs m small KMeans fits on ONE bounded sample
+  * (the 256·ksub FAISS/Milvus training convention — index-build time,
+  * never query time); `encode` is one scan with a fused per-row UDF
+  * (m·ksub·dsub ≈ 1k flops/row — a HOF formulation would be 100×
+  * slower, see the round-1 simhash measurement); search precomputes
+  * the m×ksub ADC table on the driver (tiny), broadcasts it, scores
+  * codes in the scan stage, takes a TakeOrdered shortlist, and
+  * exact-rescores only those rows. Codes are approximate → the
+  * shortlist re-rank is what makes the top-k trustworthy; recall is
+  * pinned by q_pq_recall and ProductQuantSpec.
+  */
+object ProductQuant {
+
+  /** Per-subspace codebooks: codebooks(j)(c) is the ksub-entry
+    * codebook's c-th centroid for subspace j (dsub doubles each).
+    * Trained on a bounded sample of L2-normalized vectors; seeds are
+    * fixed per subspace for reproducible builds.
+    */
+  def fit(
+      corpus: DataFrame,
+      vecCol: String = "embedding",
+      m: Int = 8,
+      ksub: Int = 256, // FAISS nbits=8 convention; smaller ksub trades recall for code width
+      seed: Long = 42L,
+      fitSampleTarget: Int = 0 // ≤0 → 256 * ksub
+  ): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val target = if (fitSampleTarget > 0) fitSampleTarget else 256 * ksub
+    val n = corpus.count()
+    val base = corpus.select(normalize(col(vecCol)).as("__nv"))
+    val fitSet =
+      (if (n > target) base.sample(withReplacement = false, target.toDouble / n, seed)
+       else base).cache()
+    try {
+      (0 until m).map { j =>
+        val sub = fitSet.select(
+          array_to_vector(slice(col("__nv"), j * dsub + 1, dsub)).as("__v")
+        )
+        new KMeans()
+          .setK(ksub)
+          .setSeed(seed + j)
+          .setFeaturesCol("__v")
+          .setPredictionCol("__c")
+          .setMaxIter(10)
+          .fit(sub)
+          .clusterCenters
+          .map(_.toArray)
+      }.toArray
+    } finally { fitSet.unpersist(); () }
+  }
+
+  /** Nearest-codebook-entry codes per subspace (array&lt;int&gt;, m
+    * entries; a production store packs them to log2(ksub) bits). One
+    * fused per-row pass over the normalized vector.
+    */
+  def encode(
+      corpus: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      vecCol: String = "embedding",
+      codeCol: String = "pq_code"
+  ): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    val enc = udf { (v: Seq[Double]) =>
+      val cb = bc.value
+      Array.tabulate(m) { j =>
+        val cbj = cb(j)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cbj.length) {
+          var d = 0.0
+          var t = 0
+          while (t < dsub) {
+            val diff = v(j * dsub + t) - cbj(c)(t)
+            d += diff * diff
+            t += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    corpus.withColumn(codeCol, enc(normalize(col(vecCol))))
+  }
+
+  /** ADC top-k with exact re-rank: score codes against the broadcast
+    * m×ksub query table, shortlist the best `shortlist` rows
+    * (default 5k), then exact-cosine rescore those rows to the final
+    * k (rounded to `scoreRounding` with `idCol` ties, matching the
+    * exact-search ranking contract). The raw vector column is only
+    * touched for shortlist rows — the production "codes in memory,
+    * floats fetched for re-rank" pattern.
+    */
+  def adcTopK(
+      encoded: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      queryVec: Array[Float],
+      k: Int,
+      shortlist: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      codeCol: String = "pq_code",
+      scoreRounding: Int = 4
+  ): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val s = if (shortlist > 0) shortlist else 5 * k
+    val qd = queryVec.map(_.toDouble)
+    val qNorm = math.sqrt(qd.map(x => x * x).sum)
+    val qn = if (qNorm == 0) qd else qd.map(_ / qNorm)
+    // ADC table: table(j)(c) = q̂_subj · codebook entry (driver-side, m·ksub doubles)
+    val table = Array.tabulate(m) { j =>
+      codebooks(j).map { cent =>
+        var dot = 0.0
+        var t = 0
+        while (t < dsub) { dot += qn(j * dsub + t) * cent(t); t += 1 }
+        dot
+      }
+    }
+    val bc = encoded.sparkSession.sparkContext.broadcast(table)
+    val adc = udf { (code: Seq[Int]) =>
+      val tb = bc.value
+      var sum = 0.0
+      var j = 0
+      while (j < tb.length) { sum += tb(j)(code(j)); j += 1 }
+      sum
+    }
+    encoded
+      .withColumn("__adc", adc(col(codeCol)))
+      .orderBy(desc("__adc"), col(idCol))
+      .limit(s)
+      .withColumn(
+        "score",
+        round(cosineSimilarity(col(vecCol), typedLit(queryVec.toSeq)), scoreRounding)
+      )
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+      .drop("__adc")
+  }
+}

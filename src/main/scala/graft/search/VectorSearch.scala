@@ -87,6 +87,64 @@ object VectorSearch {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Range search (the Milvus `radius`/`range_filter` search mode the
+    * reference's store exposes alongside top-k): every row whose
+    * similarity to the query lies in [minScore, maxScore). Unlike
+    * top-k there is no global ordering step at all — the plan is scan →
+    * scalar filter, embarrassingly parallel at any scale (the score
+    * predicate sits on top of the scan stage; no shuffle, no heap).
+    */
+  def rangeSearch(
+      collection: DataFrame,
+      queryVec: Array[Float],
+      minScore: Double,
+      maxScore: Option[Double] = None,
+      vecCol: String = "embedding",
+      scoreCol: String = "score",
+      predicate: Option[Column] = None,
+      scoreRounding: Int = 4
+  ): DataFrame = {
+    val q = typedLit(queryVec.toSeq)
+    val filtered = predicate.fold(collection)(collection.filter)
+    val scored = filtered.withColumn(
+      scoreCol,
+      round(cosineSimilarity(col(vecCol), q), scoreRounding)
+    )
+    val lower = scored.filter(col(scoreCol) >= minScore)
+    maxScore.fold(lower)(ub => lower.filter(col(scoreCol) < ub))
+  }
+
+  /** Grouping search (Milvus `group_by_field`): the best hit per group,
+    * for the top `kGroups` groups by that best score — "most relevant
+    * document per source/category". Planned as a per-group top-1
+    * window; Spark rewrites the rank-1 filter to WindowGroupLimit, so
+    * each partition keeps one candidate row per group before the
+    * group-key shuffle — map-side pruned, skew-safe at 100 TB.
+    */
+  def groupedTopK(
+      collection: DataFrame,
+      queryVec: Array[Float],
+      groupCol: String,
+      kGroups: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scoreCol: String = "score",
+      scoreRounding: Int = 4
+  ): DataFrame = {
+    val q = typedLit(queryVec.toSeq)
+    val scored = collection.withColumn(
+      scoreCol,
+      round(cosineSimilarity(col(vecCol), q), scoreRounding)
+    )
+    val w = Window.partitionBy(col(groupCol)).orderBy(desc(scoreCol), col(idCol))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .orderBy(desc(scoreCol), col(groupCol))
+      .limit(kGroups)
+  }
+
   /** Q3 — attribute-only query: scalar filter + projection + limit
     * (test/find_curriculum.py:16-22).
     */

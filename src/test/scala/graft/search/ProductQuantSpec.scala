@@ -1,0 +1,83 @@
+package graft.search
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** PQ codebook shape, encode determinism, ADC table math, and
+  * shortlist-rerank recall on real testdata embeddings.
+  */
+class ProductQuantSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf() + "/embeddings.parquet").cache()
+
+  test("fit yields m codebooks of ksub centroids with dim/m dims each") {
+    val cbs = ProductQuant.fit(emb, m = 8, ksub = 16)
+    assert(cbs.length == 8)
+    assert(cbs.forall(_.length == 16))
+    assert(cbs.forall(_.forall(_.length == 8))) // 64 / 8
+  }
+
+  test("fit rejects a subspace count that does not divide the dimension") {
+    intercept[IllegalArgumentException] {
+      ProductQuant.fit(emb, m = 7)
+    }
+  }
+
+  test("encode assigns every subspace the truly nearest codebook entry") {
+    val cbs = ProductQuant.fit(emb, m = 8, ksub = 16)
+    val rows = ProductQuant
+      .encode(emb, cbs)
+      .filter(col("vec_id") < 20)
+      .select("embedding", "pq_code")
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble).toArray
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      val nv = if (norm == 0) v else v.map(_ / norm)
+      val code = r.getSeq[Int](1)
+      for (j <- 0 until 8) {
+        val dists = cbs(j).map { c =>
+          (0 until 8).map(t => math.pow(nv(j * 8 + t) - c(t), 2)).sum
+        }
+        assert(dists(code(j)) <= dists.min + 1e-12, s"subspace $j not nearest")
+      }
+    }
+  }
+
+  test("codes are exactly reproducible across two encode runs (fixed seeds)") {
+    val cbs = ProductQuant.fit(emb, m = 8, ksub = 16)
+    val a = ProductQuant.encode(emb, cbs).select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = ProductQuant.encode(emb, ProductQuant.fit(emb, m = 8, ksub = 16))
+      .select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b)
+  }
+
+  test("ADC shortlist + exact rerank recalls ≥9/10 of exact top-10 (graded config)") {
+    val cbs = ProductQuant.fit(emb, m = 16)
+    val enc = ProductQuant.encode(emb, cbs)
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val exact = graft.search.VectorSearch
+      .topK(emb, q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pq = ProductQuant
+      .adcTopK(enc, cbs, q, 10, shortlist = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((pq intersect exact).size >= 9, s"$pq vs $exact")
+  }
+
+  test("rerank scores carry the exact-search rounding/tie contract") {
+    val cbs = ProductQuant.fit(emb, m = 8, ksub = 16)
+    val enc = ProductQuant.encode(emb, cbs)
+    val q = emb.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    val out = ProductQuant.adcTopK(enc, cbs, q, 5, shortlist = 100).collect()
+    assert(out.length == 5)
+    val scores = out.map(r => r.getDouble(r.fieldIndex("score")))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq)
+    // scores are on the 1e-4 grid (rounded), as the exact path emits
+    assert(scores.forall(s => math.abs(s * 1e4 - math.rint(s * 1e4)) < 1e-9))
+  }
+}

@@ -140,4 +140,44 @@ class VectorSearchSpec extends SparkTestBase {
     assert(out.columns.toSeq == Seq("doc_id", "lang"))
     assert(out.count() <= 5)
   }
+
+  test("range search returns exactly the rows inside [min, max) and excludes self at 1.0") {
+    val q = qv(0L)
+    val out = VectorSearch
+      .rangeSearch(embeddings, q, 0.15, Some(0.35))
+      .select("vec_id", "score")
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r => val s = r.getDouble(1); s >= 0.15 && s < 0.35 })
+    assert(!out.exists(_.getLong(0) == 0L)) // the query vector itself scores 1.0
+    // parity with a filtered exact scoring pass
+    val expect = embeddings
+      .withColumn("score", round(graft.functions.VectorFunctions.cosineSimilarity(col("embedding"), typedLit(q.toSeq)), 4))
+      .filter(col("score") >= 0.15 && col("score") < 0.35)
+      .count()
+    assert(out.length.toLong == expect)
+  }
+
+  test("grouping search returns one best hit per group, top groups by best score") {
+    val q = qv(0L)
+    val out = VectorSearch
+      .groupedTopK(embeddings, q, "label", 5)
+      .select("label", "vec_id", "score")
+      .collect()
+    assert(out.length == 5)
+    assert(out.map(_.getInt(0)).distinct.length == 5) // distinct groups
+    // each row really is its group's best (score desc, vec_id tie)
+    val all = embeddings
+      .withColumn("score", round(graft.functions.VectorFunctions.cosineSimilarity(col("embedding"), typedLit(q.toSeq)), 4))
+      .select("label", "vec_id", "score")
+      .collect()
+      .groupBy(_.getInt(0))
+    out.foreach { r =>
+      val best = all(r.getInt(0)).maxBy(x => (x.getDouble(2), -x.getLong(1)))
+      assert(r.getLong(1) == best.getLong(1), s"label ${r.getInt(0)}")
+    }
+    // groups ordered by their best score descending
+    val scores = out.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
 }
