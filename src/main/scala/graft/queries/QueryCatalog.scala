@@ -8,7 +8,7 @@ import graft.functions.VectorFunctions._
 import graft.lang.LanguageDetect
 import graft.model.{ChunkerConfig, FieldCaps}
 import graft.quality.QualityMonitor
-import graft.search.{HybridSearch, IvfIndex, KeywordSearch, ProductQuant, ScalarQuant, VectorSearch}
+import graft.search.{HybridSearch, IvfIndex, KeywordSearch, ProductQuant, Rerank, ScalarQuant, VectorSearch}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1953,6 +1953,50 @@ object QueryCatalog {
        SELECT label, vec_id, score FROM best WHERE rn = 1
        ORDER BY score DESC, label LIMIT 5"""
 
+  /** MMR diversity re-rank of the exact top-20 (λ=0.7, k=5) — greedy
+    * sequential selection replayed EXACTLY in DuckDB via a recursive
+    * CTE (pairwise cosines rounded half-up to 4, objective written
+    * λ·rel − (1−λ)·maxsim with `(1 - 0.7)` spelled identically on both
+    * sides: the IEEE double `1 − 0.7` is not the literal `0.3`).
+    */
+  val qMmrRerank: Q = (s, dir) => {
+    val qv = vecOf(s, dir, 0L)
+    val cand = tbl(s, dir, "embeddings")
+      .withColumn("rel", round(cosineSimilarity(col("embedding"), typedLit(qv.toSeq)), 4))
+      .orderBy(desc("rel"), col("vec_id"))
+      .limit(20)
+      .select("vec_id", "rel", "embedding")
+    Rerank.mmr(cand, 5)
+  }
+
+  val qMmrRerankSql: String =
+    """WITH RECURSIVE
+         q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         cand AS (
+           SELECT vec_id,
+             round(list_dot_product(embedding::DOUBLE[], qv) / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(qv, qv))), 4) AS rel
+           FROM embeddings, q ORDER BY rel DESC, vec_id LIMIT 20),
+         cv AS (SELECT c.vec_id, c.rel, e.embedding::DOUBLE[] AS v FROM cand c JOIN embeddings e USING (vec_id)),
+         pairs AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS s
+           FROM cv a, cv b WHERE a.vec_id <> b.vec_id),
+         sel AS (
+           SELECT 1 AS step, [vec_id] AS chosen, vec_id AS picked, rel AS mmr
+           FROM (SELECT vec_id, rel FROM cv ORDER BY rel DESC, vec_id LIMIT 1)
+           UNION ALL
+           SELECT step + 1, list_append(chosen, nxt.vec_id), nxt.vec_id, nxt.mmr
+           FROM sel, LATERAL (
+             SELECT vec_id, mmr FROM (
+               SELECT c.vec_id,
+                      0.7::DOUBLE * c.rel - (1 - 0.7::DOUBLE) * (SELECT max(p.s) FROM pairs p WHERE p.ia = c.vec_id AND list_contains(sel.chosen, p.ib)) AS mmr
+               FROM cv c WHERE NOT list_contains(sel.chosen, c.vec_id))
+             ORDER BY mmr DESC, vec_id LIMIT 1) nxt
+           WHERE step < 5
+         )
+       SELECT CAST(step AS INT) AS rank, picked AS vec_id, round(mmr, 6) AS mmr_score
+       FROM sel ORDER BY rank"""
+
   /** PQ artifacts per sf dir (encoded corpus + codebooks), built once —
     * same contract as ivfCache: index build is load-side work.
     */
@@ -2062,6 +2106,7 @@ object QueryCatalog {
     "q_range_search" -> qRangeSearch,
     "q_group_search" -> qGroupSearch,
     "q_pq_recall" -> qPqRecall,
+    "q_mmr_rerank" -> qMmrRerank,
     "q_multi_collection" -> qMultiCollection,
     "q_knn_join" -> qKnnJoin,
     "q_ivf_search" -> qIvfSearch,
@@ -2123,6 +2168,7 @@ object QueryCatalog {
     "q_range_search" -> qRangeSearchSql,
     "q_group_search" -> qGroupSearchSql,
     "q_pq_recall" -> qPqRecallSql,
+    "q_mmr_rerank" -> qMmrRerankSql,
     "q_multi_collection" -> qMultiCollectionSql,
     "q_knn_join" -> qKnnJoinSql,
     "q_ivf_search" -> qIvfSearchSql,
