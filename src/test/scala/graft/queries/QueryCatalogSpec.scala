@@ -58,4 +58,40 @@ class QueryCatalogSpec extends SparkTestBase {
     val ivf = SparkEntry.queries("q_ivf_knn_join")(spark, sf()).queryExecution.executedPlan.toString
     assert(!ivf.contains("CartesianProduct"), s"q_ivf_knn_join plans a cartesian product:\n$ivf")
   }
+
+  test("retrieval-family plan shapes (round-7 scale contracts)") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+    def scans(p: String) = "Scan parquet".r.findAllIn(p).size
+
+    // BM25: corpus stats ride ONE 1-row aggregate (broadcast back), the
+    // scoring pass is the only other scan, and top-k is a heap — a
+    // given query needs no inverted-index shuffle at all.
+    val bm25 = plan("q_bm25_topk")
+    assert(bm25.contains("TakeOrderedAndProject"), s"bm25 lost its top-k heap:\n$bm25")
+    assert(scans(bm25) == 2, s"bm25 should scan documents exactly twice (stats + scoring):\n$bm25")
+
+    // range search: scan + scalar filter, nothing else — no shuffle,
+    // no sort, no heap.
+    val range = plan("q_range_search")
+    assert(!range.contains("Exchange"), s"range search gained a shuffle:\n$range")
+    assert(!range.contains("TakeOrdered") && !range.contains("Sort"), s"range search gained an ordering step:\n$range")
+
+    // grouping search: the rank-1 filter must be rewritten to
+    // WindowGroupLimit (map-side one-row-per-group pruning before the
+    // group-key shuffle) — the property that makes it skew-safe.
+    val grouped = plan("q_group_search")
+    assert(grouped.contains("WindowGroupLimit"), s"grouping search lost WindowGroupLimit pruning:\n$grouped")
+
+    // SQ8 one-shot search: fit must be instantiated ONCE — the
+    // fit+encode+searchTopK composition planned THREE scans (two full
+    // stats trees) before quantizedTopK fused them; fence the fix.
+    val sq8 = plan("q_sq8_topk")
+    assert(scans(sq8) == 2, s"sq8 should scan embeddings exactly twice (fit + scoring):\n$sq8")
+
+    // hybrid RRF: fusion joins k-row rankings — no cartesian over data
+    // rows anywhere in the plan.
+    val rrf = plan("q_hybrid_rrf")
+    assert(!rrf.contains("CartesianProduct"), s"hybrid fusion plans a cartesian product:\n$rrf")
+  }
 }
