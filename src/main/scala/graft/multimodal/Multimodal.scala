@@ -10,9 +10,10 @@ import scala.util.hashing.MurmurHash3
   * contract — schema, batched mapPartitions execution (the Scala
   * equivalent of `mapInPandas` batch shape), partition sizing — is real
   * and tested. IMAGE decode is REAL (`ImageCodec`, `javax.imageio` —
-  * PNG/BMP/JPEG decoders ship in the JDK, zero egress); audio/video
-  * codecs stay behind the deterministic `FakeCodec` test double
-  * because no media libraries ship in this container.
+  * PNG/BMP/JPEG decoders ship in the JDK, zero egress) and so is AUDIO
+  * (`AudioCodec`, `javax.sound.sampled` — RIFF/WAVE PCM); only the
+  * VIDEO codec stays behind the deterministic `FakeCodec` test double,
+  * because no video library ships in this container (or the JDK).
   */
 object Multimodal {
 
@@ -79,6 +80,84 @@ object Multimodal {
       }
       val n = (w.toLong * h).toDouble
       ImageStats(w, h, sr / n, sg / n, sb / n)
+    }
+  }
+
+  /** REAL audio codec — `javax.sound.sampled` ships a WAV
+    * reader/writer in the JDK (zero egress), so the audio half of the
+    * media path decodes genuine RIFF/WAVE containers the same way the
+    * image half decodes genuine PNGs. 16-bit signed little-endian
+    * mono PCM; stats are exact integer sums + one IEEE division, the
+    * oracle-parity rule used across the catalog.
+    */
+  object AudioCodec {
+    /** Deterministic PCM sample formula — mirrored verbatim in the
+      * q_audio_features oracle SQL. Non-negative int arithmetic before
+      * the bias so `%` agrees across engines; range [-32768, 32767].
+      */
+    def sample(i: Int, seed: Int): Int = (i * 37 + seed * 101) % 65536 - 32768
+
+    def encodeWav(nSamples: Int, sampleRate: Int, seed: Int): Array[Byte] = {
+      val data = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = sample(i, seed)
+        data(2 * i) = (s & 0xff).toByte // little-endian
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false) // signed, little-endian, mono
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decoded audio statistics: container-reported format + frames,
+      * integer-exact mean |amplitude| (one division) and peak.
+      * duration_ms is integer floor division — spelled `//` in the
+      * oracle.
+      */
+    final case class AudioStats(
+        sampleRate: Int, channels: Int, frames: Long,
+        durationMs: Long, meanAbs: Double, peak: Int)
+
+    def decodeStats(bytes: Array[Byte]): AudioStats = {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+        s"expected 16-bit signed PCM, got $fmt")
+      val channels = fmt.getChannels
+      val frames = ais.getFrameLength
+      val pcm = ais.readAllBytes()
+      val nSamples = pcm.length / 2
+      var sumAbs = 0L
+      var peak = 0
+      var i = 0
+      while (i < nSamples) {
+        val lo = pcm(2 * i) & 0xff
+        val hi = pcm(2 * i + 1).toInt // sign-carrying high byte (LE)
+        val s = (hi << 8) | lo
+        val a = math.abs(s)
+        sumAbs += a
+        if (a > peak) peak = a
+        i += 1
+      }
+      val rate = fmt.getSampleRate.toInt
+      AudioStats(
+        sampleRate = rate,
+        channels = channels,
+        frames = frames,
+        durationMs = frames * 1000L / rate,
+        meanAbs = if (nSamples == 0) 0.0 else sumAbs.toDouble / nSamples,
+        peak = peak
+      )
     }
   }
 
@@ -214,6 +293,49 @@ object Multimodal {
           // Seq[Any]: a plain Seq would numerically widen the Int dims
           // to Double and break the row encoder's INT fields
           Row.fromSeq(r.toSeq ++ Seq[Any](s.width, s.height, s.meanR, s.meanG, s.meanB))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic WAV generator over (nSamples, sampleRate, seed)
+    * int columns → binary `wav` column of genuine RIFF/WAVE
+    * containers (the audio analog of [[withEncodedPng]]).
+    */
+  def withEncodedWav(
+      df: DataFrame, nCol: String, rateCol: String, seedCol: String, outCol: String = "wav"
+  ): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val (ni, ri, si) =
+      (df.schema.fieldIndex(nCol), df.schema.fieldIndex(rateCol), df.schema.fieldIndex(seedCol))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ AudioCodec.encodeWav(r.getInt(ni), r.getInt(ri), r.getInt(si)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL audio decode over a binary column (javax.sound.sampled):
+    * format + frames + duration + amplitude stats as
+    * `sample_rate/channels/frames/duration_ms/mean_abs/peak`.
+    * Batched mapPartitions like the image stage.
+    */
+  def withAudioStats(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("frames", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("mean_abs", DoubleType, nullable = false),
+      StructField("peak", IntegerType, nullable = false)
+    ))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val s = AudioCodec.decodeStats(r.getAs[Array[Byte]](binIdx))
+          Row.fromSeq(r.toSeq ++ Seq[Any](
+            s.sampleRate, s.channels, s.frames, s.durationMs, s.meanAbs, s.peak))
         }
       }
     }(Encoders.row(outSchema))

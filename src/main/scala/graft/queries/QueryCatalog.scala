@@ -1693,6 +1693,54 @@ object QueryCatalog {
               round(sb / (w * h * 1.0), 4) AS mean_b
        FROM sums ORDER BY doc_id"""
 
+  /** REAL audio decode end-to-end: generate genuine RIFF/WAVE PCM
+    * containers (javax.sound.sampled) per document, decode them back,
+    * and emit container-reported format plus amplitude stats. The
+    * oracle recomputes every stat arithmetically from the
+    * deterministic sample formula — green means the bytes really
+    * round-tripped through a real WAV encoder/decoder and the decoded
+    * samples match the closed form.
+    */
+  val qAudioFeatures: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val dims = rebalanced(tbl(s, dir, "documents").select(col("doc_id")))
+      .withColumn("n", (lit(400) + pmod(col("doc_id"), lit(351))).cast("int"))
+      .withColumn("rate", lit(8000).cast("int"))
+      .withColumn("seed", pmod(col("doc_id"), lit(1000)).cast("int"))
+    val wav = Multimodal.withEncodedWav(dims, "n", "rate", "seed")
+    Multimodal.withAudioStats(wav, "wav")
+      .select(
+        col("doc_id"),
+        col("sample_rate"),
+        col("channels"),
+        col("frames"),
+        col("duration_ms"),
+        round(col("mean_abs"), 4).as("mean_abs"),
+        col("peak")
+      )
+  }
+
+  val qAudioFeaturesSql: String =
+    """WITH dims AS (
+         SELECT doc_id,
+                CAST(400 + doc_id % 351 AS INT) AS n,
+                CAST(doc_id % 1000 AS INT) AS seed
+         FROM documents),
+       si AS (SELECT doc_id, n, seed, unnest(range(0, n)) AS i FROM dims),
+       sums AS (
+         SELECT doc_id, any_value(n) AS n,
+                sum(abs((i * 37 + seed * 101) % 65536 - 32768)) AS sa,
+                max(abs((i * 37 + seed * 101) % 65536 - 32768)) AS pk
+         FROM si GROUP BY doc_id)
+       SELECT doc_id,
+              CAST(8000 AS INT) AS sample_rate,
+              CAST(1 AS INT) AS channels,
+              CAST(n AS BIGINT) AS frames,
+              CAST(n AS BIGINT) * 1000 // 8000 AS duration_ms,
+              round(sa / (n * 1.0), 4) AS mean_abs,
+              CAST(pk AS INT) AS peak
+       FROM sums ORDER BY doc_id"""
+
   // ---------------------------------------------------------------
   // End-to-end pipeline (flagship spine; rows-only)
   // ---------------------------------------------------------------
@@ -2117,6 +2165,7 @@ object QueryCatalog {
     "q_collection_name" -> qCollectionName,
     "q_media_features" -> qMediaFeatures,
     "q_image_features" -> qImageFeatures,
+    "q_audio_features" -> qAudioFeatures,
     "q_pipeline_e2e" -> qPipelineE2E
   )
 
@@ -2179,6 +2228,7 @@ object QueryCatalog {
     "q_collection_name" -> qCollectionNameSql,
     "q_media_features" -> qMediaFeaturesSql,
     "q_image_features" -> qImageFeaturesSql,
+    "q_audio_features" -> qAudioFeaturesSql,
     "q_pipeline_e2e" -> qPipelineE2ESql
   )
 }

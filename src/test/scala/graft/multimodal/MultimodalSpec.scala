@@ -95,6 +95,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.FakeCodec.sampleFrameOffsets(10000, 0).isEmpty)
   }
 
+  test("AudioCodec: WAV encode→javax.sound decode roundtrip matches the closed-form samples") {
+    val bytes = Multimodal.AudioCodec.encodeWav(nSamples = 500, sampleRate = 8000, seed = 7)
+    // genuine RIFF/WAVE container, not a hash-fake
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val s = Multimodal.AudioCodec.decodeStats(bytes)
+    assert(s.sampleRate == 8000 && s.channels == 1 && s.frames == 500L)
+    assert(s.durationMs == 62L) // 500·1000/8000 floor
+    val samples = (0 until 500).map(i => Multimodal.AudioCodec.sample(i, 7))
+    assert(s.peak == samples.map(math.abs).max)
+    assert(math.abs(s.meanAbs - samples.map(math.abs).sum.toDouble / 500) < 1e-12)
+  }
+
+  test("AudioCodec: the -32768 boundary sample survives the container roundtrip") {
+    // seed/index chosen so sample() hits the most negative 16-bit value
+    val idx = (0 until 65536).find(i => Multimodal.AudioCodec.sample(i, 0) == -32768).get
+    val bytes = Multimodal.AudioCodec.encodeWav(idx + 1, 8000, 0)
+    val s = Multimodal.AudioCodec.decodeStats(bytes)
+    assert(s.peak == 32768)
+  }
+
+  test("withEncodedWav + withAudioStats: distributed real decode matches driver-side decode") {
+    import spark.implicits._
+    val dims = Seq((1L, 400, 8000, 3), (2L, 700, 16000, 11))
+      .toDF("id", "n", "rate", "seed")
+    val out = Multimodal
+      .withAudioStats(Multimodal.withEncodedWav(dims, "n", "rate", "seed"), "wav")
+      .orderBy("id")
+      .collect()
+    out.foreach { r =>
+      val driver = Multimodal.AudioCodec.decodeStats(
+        Multimodal.AudioCodec.encodeWav(r.getInt(1), r.getInt(2), r.getInt(3)))
+      assert(r.getAs[Int]("sample_rate") == driver.sampleRate)
+      assert(r.getAs[Long]("frames") == driver.frames)
+      assert(r.getAs[Long]("duration_ms") == driver.durationMs)
+      assert(r.getAs[Double]("mean_abs") == driver.meanAbs)
+      assert(r.getAs[Int]("peak") == driver.peak)
+    }
+    assert(out.map(_.getAs[Long]("duration_ms")).toSeq == Seq(50L, 43L)) // 400/8k, 700/16k
+  }
+
   test("binaryFile directory read exposes path/mtime/length/content (S3 shape)") {
     val dir = Files.createTempDirectory("graft-media").toString
     Files.write(Paths.get(s"$dir/a.bin"), Array.fill[Byte](128)(1))
