@@ -110,4 +110,92 @@ object KeywordSearch {
       .orderBy(desc("score"), col(idCol)) // rounded score = what the oracle sorts by
       .limit(k)
   }
+
+  /** Inverted-index build — the REPEATED-query amortization of
+    * [[bm25TopK]] (which re-tokenizes the corpus per query). One
+    * tokenize pass produces three tables a store persists once:
+    * postings (term, id, tf), per-doc lengths (id, dl), and the 1-row
+    * corpus stats (n, Σdl). Write postings
+    * `partitionBy(bucket(term))`/bucketed so a query's term lookups
+    * become partition-pruned point reads instead of corpus scans — at
+    * 100 TB that is the difference between touching ~terms×avg-postings
+    * rows and touching everything.
+    *
+    * The explode → groupBy(term, id) shuffle is index-BUILD cost
+    * (paid once, like the IVF KMeans), and partial aggregation
+    * map-side-combines the per-document term counts before it.
+    */
+  final case class Bm25Index(postings: DataFrame, docLens: DataFrame, stats: DataFrame)
+
+  def buildIndex(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Bm25Index = {
+    val withToks = docs.select(col(idCol), toks(col(textCol)).as("__toks"))
+    val docLens = withToks.select(col(idCol), size(col("__toks")).cast("long").as("dl"))
+    val postings = withToks
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    val stats = docLens.agg(count(lit(1)).as("n"), sum(col("dl")).as("dlsum"))
+    Bm25Index(postings, docLens, stats)
+  }
+
+  /** BM25 top-k over a prebuilt [[Bm25Index]] — identical scores and
+    * ranking to [[bm25TopK]] (spec-pinned parity): df comes from a
+    * tiny filtered-postings aggregate, tf via conditional pivot so the
+    * per-term score sum keeps the same fixed left-to-right order.
+    * Only postings rows for the query's terms are touched.
+    */
+  def bm25TopKIndexed(
+      index: Bm25Index,
+      terms: Seq[String],
+      k: Int,
+      idCol: String = "doc_id",
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      rationalIdf: Boolean = false,
+      roundDigits: Int = 6
+  ): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKIndexed needs at least one query term")
+    require(terms.distinct.size == terms.size, "duplicate query terms")
+    val hit = index.postings.filter(col("term").isin(terms: _*))
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, lit(1L)).otherwise(0L)).as(s"__df$i")
+    }
+    val dfCounts = hit.agg(dfAggs.head, dfAggs.tail: _*)
+    val statsRow = index.stats.crossJoin(dfCounts)
+    // pivot tf per term so every candidate doc carries the same
+    // fixed-arity tf columns the scan variant computes
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf$i")
+    }
+    val perDoc = hit
+      .groupBy(col(idCol))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+      .join(index.docLens.withColumnRenamed("dl", "__dl"), Seq(idCol))
+    val scored = perDoc.crossJoin(broadcast(statsRow))
+    val n = col("n").cast("double")
+    val avgdl = col("dlsum").cast("double") / col("n")
+    val dl = col("__dl").cast("double")
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val df = col(s"__df$i").cast("double")
+      val rational = (n - df + lit(0.5)) / (df + lit(0.5))
+      val idf = if (rationalIdf) rational else log(lit(1.0) + rational)
+      val denom = tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / avgdl)
+      when(tf > 0, idf * (tf * (lit(k1) + lit(1.0))) / denom).otherwise(lit(0.0))
+    }
+    val score = contribs.reduce(_ + _)
+    val outCols =
+      Seq(col(idCol)) ++
+        terms.zipWithIndex.map { case (t, i) => col(s"__tf$i").cast("int").as(s"tf_$t") } ++
+        Seq(round(score, roundDigits).as("score"))
+    scored
+      .filter(score > 0)
+      .select(outCols: _*)
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
 }

@@ -74,6 +74,36 @@ class KeywordSearchSpec extends SparkTestBase {
     assert(byId == Map(0L -> 3, 2L -> 1))
   }
 
+  test("indexed variant matches the scan variant exactly on the real corpus") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val idx = KeywordSearch.buildIndex(docs)
+    for (rational <- Seq(true, false)) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+      val scan = rows(
+        KeywordSearch.bm25TopK(docs, Seq("dup", "vector"), 10, rationalIdf = rational))
+      val indexed = rows(
+        KeywordSearch.bm25TopKIndexed(idx, Seq("dup", "vector"), 10, rationalIdf = rational))
+      assert(scan == indexed, s"rationalIdf=$rational")
+    }
+  }
+
+  test("indexed variant touches only the query terms' postings") {
+    val docs = fixture
+    val idx = KeywordSearch.buildIndex(docs)
+    // df for an absent term is 0 and contributes nothing; docs matching
+    // only the absent term don't appear
+    val out = KeywordSearch
+      .bm25TopKIndexed(idx, Seq("spark", "nosuchterm"), 10, rationalIdf = true)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(0L, 2L))
+    // postings filter is pushed to the scan of the postings relation
+    val plan = KeywordSearch
+      .bm25TopKIndexed(idx, Seq("spark"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("term") && !plan.contains("CartesianProduct"))
+  }
+
   test("k bounds the result and ties break by ascending id") {
     val dup = Seq((10L, "alpha"), (11L, "alpha"), (12L, "alpha")).toDF("doc_id", "text")
     val out = KeywordSearch.bm25TopK(dup, Seq("alpha"), k = 2, rationalIdf = true).collect()

@@ -69,6 +69,34 @@ class ProductQuantSpec extends SparkTestBase {
     assert((pq intersect exact).size >= 9, s"$pq vs $exact")
   }
 
+  test("PQ composes with IVF cluster pruning (IVFPQ shape)") {
+    import graft.model.IndexConfig
+    val cfg = IndexConfig(nlist = 16, nprobe = 8)
+    val (labeled0, centroids) = IvfIndex.build(emb, "embedding", cfg)
+    val labeled = labeled0.cache()
+    try {
+      val cbs = ProductQuant.fit(labeled, m = 16)
+      val enc = ProductQuant.encode(labeled, cbs)
+      val q = emb.filter(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray
+      val probes = IvfIndex.nearestClusters(q, centroids, cfg.nprobe)
+      val pruned = enc.filter(col("cluster_id").isin(probes: _*))
+      // quality claim decoupled from IVF probe recall: within the probed
+      // clusters, ADC shortlist + rerank recovers the exact subset top-10
+      val adc = ProductQuant
+        .adcTopK(pruned, cbs, q, 10, shortlist = 100)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exactSub = VectorSearch
+        .topK(labeled.filter(col("cluster_id").isin(probes: _*)), q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert((adc intersect exactSub).size >= 9, s"$adc vs $exactSub")
+      // and the codes path only touched probed clusters
+      val clusters = ProductQuant
+        .adcTopK(pruned, cbs, q, 10, shortlist = 100)
+        .select("cluster_id").collect().map(_.getInt(0)).toSet
+      assert(clusters.subsetOf(probes.toSet))
+    } finally { labeled.unpersist(); () }
+  }
+
   test("rerank scores carry the exact-search rounding/tie contract") {
     val cbs = ProductQuant.fit(emb, m = 8, ksub = 16)
     val enc = ProductQuant.encode(emb, cbs)
