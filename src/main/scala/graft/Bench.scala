@@ -192,8 +192,14 @@ object Bench {
       val ok = ts.collect { case (t, true) => t }
       name -> (if (ok.nonEmpty) ok.min else ts.map(_._1).min)
     }
+    // stall accounting likewise: the metric means "time a SUCCESSFUL
+    // attempt lost to transient machine noise" — deltas involving a
+    // failed attempt are failure time, not stall, and belong to
+    // `errors`, so they must not inflate this number.
     val stallSec = attempts.valuesIterator
-      .map(_.map(_._1)).map(ts => ts.max - ts.min).sum
+      .map(_.collect { case (t, true) => t })
+      .collect { case ok if ok.size >= 2 => ok.max - ok.min }
+      .sum
 
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val gcDelta = { val g1 = gcSec(); if (g1 >= 0 && gc0 >= 0) g1 - gc0 else -1.0 }

@@ -129,10 +129,13 @@ object Multimodal {
       val ais = javax.sound.sampled.AudioSystem
         .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
       val fmt = ais.getFormat
+      // endianness is part of the contract: getAudioInputStream also
+      // parses AIFF/AU (big-endian PCM), which the manual LE decode
+      // below would silently byte-swap into garbage stats
       require(
         fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          fmt.getSampleSizeInBits == 16,
-        s"expected 16-bit signed PCM, got $fmt")
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"expected 16-bit signed little-endian PCM, got $fmt")
       val channels = fmt.getChannels
       val frames = ais.getFrameLength
       val pcm = ais.readAllBytes()

@@ -1863,8 +1863,13 @@ object QueryCatalog {
   val qBm25TopK: Q = (s, dir) =>
     KeywordSearch.bm25TopK(tbl(s, dir, "documents"), Bm25Terms, 10, rationalIdf = true)
 
-  val qBm25TopKSql: String =
-    raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS t FROM documents),
+  /** The BM25 oracle CTE chain (toks/base/st/ks over `documents` for
+    * the Bm25Terms query), shared VERBATIM by qBm25TopKSql and
+    * qHybridRrfSql — one definition so an idf/tokenization tweak
+    * cannot leave the hybrid row certifying a stale BM25.
+    */
+  private val bm25OracleCtes: String =
+    raw"""toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS t FROM documents),
          base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
                          CAST(len(list_filter(t, x -> x = 'dup')) AS DOUBLE) AS tf0,
                          CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf1
@@ -1877,7 +1882,10 @@ object QueryCatalog {
          ks AS (SELECT doc_id, CAST(tf0 AS INT) AS tf_dup, CAST(tf1 AS INT) AS tf_vector,
                   (CASE WHEN tf0 > 0 THEN ((n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE)) * (tf0 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf0 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) ELSE 0.0::DOUBLE END)
                 + (CASE WHEN tf1 > 0 THEN ((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE)) * (tf1 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf1 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) ELSE 0.0::DOUBLE END) AS s
-                FROM base CROSS JOIN st)
+                FROM base CROSS JOIN st)"""
+
+  val qBm25TopKSql: String =
+    s"""WITH $bm25OracleCtes
        SELECT doc_id, tf_dup, tf_vector, round(s, 6) AS score
        FROM ks WHERE s > 0 ORDER BY round(s, 6) DESC, doc_id LIMIT 10"""
 
@@ -1905,26 +1913,13 @@ object QueryCatalog {
   }
 
   val qHybridRrfSql: String =
-    raw"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          vs AS (SELECT vec_id AS doc_id,
                   round(list_dot_product(embedding::DOUBLE[], qv) / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(qv, qv))), 4) AS score
                 FROM embeddings, q),
          vtop AS (SELECT doc_id, score FROM vs ORDER BY score DESC, doc_id LIMIT 20),
          vr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_vec FROM vtop),
-         toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS t FROM documents),
-         base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
-                         CAST(len(list_filter(t, x -> x = 'dup')) AS DOUBLE) AS tf0,
-                         CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf1
-                  FROM toks),
-         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-                       CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
-                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
-                FROM base),
-         ks AS (SELECT doc_id,
-                  (CASE WHEN tf0 > 0 THEN ((n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE)) * (tf0 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf0 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) ELSE 0.0::DOUBLE END)
-                + (CASE WHEN tf1 > 0 THEN ((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE)) * (tf1 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf1 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)) ELSE 0.0::DOUBLE END) AS s
-                FROM base CROSS JOIN st),
+         $bm25OracleCtes,
          ktop AS (SELECT doc_id, round(s, 6) AS score FROM ks WHERE s > 0 ORDER BY round(s, 6) DESC, doc_id LIMIT 20),
          kr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_kw FROM ktop)
        SELECT coalesce(vr.doc_id, kr.doc_id) AS doc_id, rank_vec, rank_kw,

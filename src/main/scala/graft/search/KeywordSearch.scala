@@ -84,11 +84,33 @@ object KeywordSearch {
         )
     val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
 
-    // Stage 4: score = Σ_t idf(df_t) · tf_t(k1+1) / (tf_t + k1(1 − b + b·dl/avgdl)),
-    // summed left-to-right over the query's term order.
-    val scored = perDoc.crossJoin(broadcast(stats))
-    val n = col("__n").cast("double")
-    val avgdl = col("__dlsum").cast("double") / col("__n")
+    // Stage 4: shared scorer — both variants meet here.
+    scoreAndSelect(perDoc.crossJoin(broadcast(stats)), terms, k, idCol,
+      k1, b, rationalIdf, roundDigits, nCol = "__n", dlsumCol = "__dlsum")
+  }
+
+  /** The BM25 scoring tail both variants share: score =
+    * Σ_t idf(df_t) · tf_t(k1+1) / (tf_t + k1(1 − b + b·dl/avgdl)),
+    * summed left-to-right over the query's term order, then the
+    * output/rank/limit contract. Input rows must carry idCol, `__dl`,
+    * `__tf<i>`, `__df<i>`, and the corpus stats columns. ONE body so
+    * an idf/rounding/tie-break change cannot desynchronize the scan
+    * and indexed paths (their parity is spec-pinned).
+    */
+  private def scoreAndSelect(
+      scored: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      idCol: String,
+      k1: Double,
+      b: Double,
+      rationalIdf: Boolean,
+      roundDigits: Int,
+      nCol: String,
+      dlsumCol: String
+  ): DataFrame = {
+    val n = col(nCol).cast("double")
+    val avgdl = col(dlsumCol).cast("double") / col(nCol)
     val dl = col("__dl").cast("double")
     val contribs = terms.indices.map { i =>
       val tf = col(s"__tf$i").cast("double")
@@ -99,7 +121,6 @@ object KeywordSearch {
       when(tf > 0, idf * (tf * (lit(k1) + lit(1.0))) / denom).otherwise(lit(0.0))
     }
     val score = contribs.reduce(_ + _)
-
     val outCols =
       Seq(col(idCol)) ++
         terms.zipWithIndex.map { case (t, i) => col(s"__tf$i").cast("int").as(s"tf_$t") } ++
@@ -175,27 +196,7 @@ object KeywordSearch {
       .groupBy(col(idCol))
       .agg(tfAggs.head, tfAggs.tail: _*)
       .join(index.docLens.withColumnRenamed("dl", "__dl"), Seq(idCol))
-    val scored = perDoc.crossJoin(broadcast(statsRow))
-    val n = col("n").cast("double")
-    val avgdl = col("dlsum").cast("double") / col("n")
-    val dl = col("__dl").cast("double")
-    val contribs = terms.indices.map { i =>
-      val tf = col(s"__tf$i").cast("double")
-      val df = col(s"__df$i").cast("double")
-      val rational = (n - df + lit(0.5)) / (df + lit(0.5))
-      val idf = if (rationalIdf) rational else log(lit(1.0) + rational)
-      val denom = tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / avgdl)
-      when(tf > 0, idf * (tf * (lit(k1) + lit(1.0))) / denom).otherwise(lit(0.0))
-    }
-    val score = contribs.reduce(_ + _)
-    val outCols =
-      Seq(col(idCol)) ++
-        terms.zipWithIndex.map { case (t, i) => col(s"__tf$i").cast("int").as(s"tf_$t") } ++
-        Seq(round(score, roundDigits).as("score"))
-    scored
-      .filter(score > 0)
-      .select(outCols: _*)
-      .orderBy(desc("score"), col(idCol))
-      .limit(k)
+    scoreAndSelect(perDoc.crossJoin(broadcast(statsRow)), terms, k, idCol,
+      k1, b, rationalIdf, roundDigits, nCol = "n", dlsumCol = "dlsum")
   }
 }

@@ -26,16 +26,17 @@ object PqProbe {
         .orderBy(desc("score"), col("vec_id"))
         .limit(10)
         .select("vec_id").collect().map(_.getLong(0)).toSet
-      for {
-        (m, ksub) <- Seq((8, 16), (8, 64), (8, 256), (16, 16), (16, 64), (16, 256))
-        shortlist <- Seq(50, 100)
-      } {
+      for ((m, ksub) <- Seq((8, 16), (8, 64), (8, 256), (16, 16), (16, 64), (16, 256))) {
+        // codebooks/codes are shortlist-independent — fit/encode once per combo
         val cbs = ProductQuant.fit(e, m = m, ksub = ksub)
-        val enc = ProductQuant.encode(e, cbs)
-        val pq = ProductQuant
-          .adcTopK(enc, cbs, q, 10, shortlist = shortlist)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        println(s"[pqprobe] $dir m=$m ksub=$ksub shortlist=$shortlist overlap=${(pq intersect exact).size}/10")
+        val enc = ProductQuant.encode(e, cbs).cache()
+        for (shortlist <- Seq(50, 100)) {
+          val pq = ProductQuant
+            .adcTopK(enc, cbs, q, 10, shortlist = shortlist)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          println(s"[pqprobe] $dir m=$m ksub=$ksub shortlist=$shortlist overlap=${(pq intersect exact).size}/10")
+        }
+        enc.unpersist()
       }
     }
     spark.stop()
