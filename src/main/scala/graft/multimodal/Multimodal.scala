@@ -175,7 +175,8 @@ object Multimodal {
   ))
 
   /** DETERMINISTIC FAKE codec — stands in for ffmpeg et al. on the
-    * audio/video side (image decode is REAL above: [[ImageCodec]]).
+    * VIDEO side (image decode is REAL above — [[ImageCodec]] — and so
+    * is audio: [[AudioCodec]]).
     * Derives stable pseudo-features from the payload bytes so every
     * downstream stage (schema, batching, joins, ANN over features) is
     * exercised end-to-end with reproducible values; also kept as the
