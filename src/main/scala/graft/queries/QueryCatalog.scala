@@ -7,6 +7,8 @@ import graft.embed.{Embedders, HashEmbedder}
 import graft.functions.VectorFunctions._
 import graft.lang.LanguageDetect
 import graft.model.{ChunkerConfig, FieldCaps}
+import graft.operators.SkewTools
+import graft.plans.{IvfCatalog, IvfPruning}
 import graft.quality.QualityMonitor
 import graft.search.{HybridSearch, IvfIndex, KeywordSearch, ProductQuant, Rerank, ScalarQuant, VectorSearch}
 import graft.text.TextAnalysis
@@ -2085,6 +2087,142 @@ object QueryCatalog {
   val qPqRecallSql: String =
     "SELECT CAST(10 AS INT) AS k, true AS recall_ok"
 
+  // ---------------------------------------------------------------
+  // Skew mitigation + optimizer rewrite, driver-graded (round 7):
+  // the scale-critical helpers that previously only carried ScalaTest
+  // evidence get oracle rows — salting must be semantically invisible,
+  // and the Catalyst rule must rewrite AND preserve the explicit-path
+  // result.
+  // ---------------------------------------------------------------
+
+  /** Salted-join parity: [[SkewTools.saltedJoin]] fans every orderkey
+    * over `factor` reduce partitions (the manual fallback for hot keys
+    * AQE's skew-join can't split, e.g. shuffle-hash against a
+    * mid-sized dim). The oracle is the PLAIN join — salting must not
+    * change a single row. Aggregates are integer-valued doubles
+    * (l_quantity) + counts, so the sums are reduce-order-proof and the
+    * parity claim is exact, not rounded.
+    */
+  val qSaltedJoin: Q = (s, dir) => {
+    val l = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val o = tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    SkewTools
+      .saltedJoin(l, o, Seq("o_orderkey"), factor = 8)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qSaltedJoinSql: String =
+    """SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  /** Salted two-phase HOLISTIC aggregation: exact distinct-count per
+    * key via per-(key,salt) collect_set then a merge — the shape for
+    * aggregates map-side partial aggregation cannot shrink on a hot
+    * key. Oracle = plain count(DISTINCT): the two-phase split must be
+    * semantically invisible.
+    */
+  val qSaltedAgg: Q = (s, dir) => {
+    val l = tbl(s, dir, "lineitem")
+    SkewTools
+      .saltedAgg(
+        l,
+        Seq("l_returnflag"),
+        factor = 8,
+        partial = Seq(collect_set(col("l_suppkey")).as("s"), count(lit(1)).as("c")),
+        merge = Seq(
+          size(array_distinct(flatten(collect_list(col("s"))))).as("distinct_suppliers"),
+          sum(col("c")).as("n_items"))
+      )
+      .orderBy("l_returnflag")
+  }
+
+  val qSaltedAggSql: String =
+    """SELECT l_returnflag,
+       CAST(count(DISTINCT l_suppkey) AS INT) AS distinct_suppliers,
+       count(*) AS n_items
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Indexed-collection path per sf dir for the optimizer-rewrite
+    * evidence: the labeled IVF corpus laid down exactly as
+    * [[graft.store.VectorStore.writeIndexed]] does — cluster_id as a
+    * PARTITION column — so the IN filter the rule injects becomes
+    * partition pruning at the scan (FileSourceStrategy splits it into
+    * partitionFilters; non-probed clusters are never read). Written
+    * once per JVM per sf, like ivfCache: index layout is load-side
+    * work.
+    */
+  private val ivfPathCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfCollectionPathFor(s: SparkSession, dir: String): String =
+    ivfPathCache.getOrElseUpdate(
+      dir, {
+        val (labeled, _, _) = ivfIndexFor(s, dir)
+        val out = java.nio.file.Files.createTempDirectory("graft-ivf-coll").toString
+        labeled
+          .repartition(col("cluster_id"))
+          .write.mode("overwrite").partitionBy("cluster_id").parquet(out)
+        out
+      }
+    )
+
+  /** O5 driver evidence — the [[graft.plans.IvfTopKPrune]] Catalyst
+    * rewrite exercised END TO END: a naive `score-orderBy-limit` over a
+    * registered collection must (a) get the `cluster_id IN (probes)`
+    * filter injected into its OPTIMIZED plan (checked by pattern, not
+    * string), and (b) return exactly the rows+scores of the explicit
+    * IVF probe path with the same nprobe — the rewrite is
+    * approximate-by-contract vs exhaustive search (Milvus nprobe
+    * semantics) but must be IDENTICAL to the explicit API it sugars.
+    * Both plans share the deterministic (score DESC, vec_id) ranking,
+    * so the parity claim is row-exact. The rule and registration are
+    * scoped to this query (enable/register → compare → disable/
+    * unregister in a finally) and key on the temp collection path, so
+    * no other catalog query can be rewritten.
+    */
+  val qIvfRewrite: Q = (s, dir) => {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val (_, centroids, _) = ivfIndexFor(s, dir)
+    val path = ivfCollectionPathFor(s, dir)
+    val q = vecOf(s, dir, 0L)
+    val nprobe = IvfQueryCfg.nprobe
+    IvfCatalog.register(path, centroids, nprobe)
+    IvfPruning.enable(s)
+    try {
+      val corpus = s.read.parquet(path)
+      def top10(df: DataFrame): DataFrame =
+        df.withColumn("score", cosineSimilarity(col("embedding"), typedLit(q.toSeq)))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(10)
+      val naive = top10(corpus)
+      val ruleFired = naive.queryExecution.optimizedPlan.exists {
+        case LFilter(In(a: AttributeReference, _), _) => a.name == "cluster_id"
+        case _ => false
+      }
+      val probes = IvfIndex.nearestClusters(q, centroids, nprobe)
+      val explicit = top10(corpus.filter(col("cluster_id").isin(probes: _*)))
+      def rows(df: DataFrame): Seq[(Long, Double)] =
+        df.select(col("vec_id"), col("score")).collect().toSeq
+          .map(r => (r.getLong(0), r.getDouble(1)))
+      val matches = rows(naive) == rows(explicit)
+      val pruned = nprobe < centroids.length
+      import s.implicits._
+      Seq((ruleFired, matches, pruned))
+        .toDF("rule_fired", "matches_explicit", "pruned")
+    } finally {
+      IvfPruning.disable(s)
+      IvfCatalog.unregister(path)
+    }
+  }
+
+  val qIvfRewriteSql: String =
+    "SELECT true AS rule_fired, true AS matches_explicit, true AS pruned"
+
   /** Load-side preparation for a scale-factor dir: build + cache the
     * IVF index and the PQ codebooks/codes (the reference builds its
     * index at insert time, milvus_store.py:110-136 — searches never
@@ -2156,6 +2294,9 @@ object QueryCatalog {
     "q_ivf_recall" -> qIvfRecall,
     "q_ivf_knn_join" -> qIvfKnnJoin,
     "q_attr_query" -> qAttrQuery,
+    "q_salted_join" -> qSaltedJoin,
+    "q_salted_agg" -> qSaltedAgg,
+    "q_ivf_rewrite" -> qIvfRewrite,
     "q_truncate_project" -> qTruncateProject,
     "q_collection_name" -> qCollectionName,
     "q_media_features" -> qMediaFeatures,
@@ -2219,6 +2360,9 @@ object QueryCatalog {
     "q_ivf_recall" -> qIvfRecallSql,
     "q_ivf_knn_join" -> qKnnJoinSql,
     "q_attr_query" -> qAttrQuerySql,
+    "q_salted_join" -> qSaltedJoinSql,
+    "q_salted_agg" -> qSaltedAggSql,
+    "q_ivf_rewrite" -> qIvfRewriteSql,
     "q_truncate_project" -> qTruncateProjectSql,
     "q_collection_name" -> qCollectionNameSql,
     "q_media_features" -> qMediaFeaturesSql,

@@ -94,4 +94,33 @@ class QueryCatalogSpec extends SparkTestBase {
     val rrf = plan("q_hybrid_rrf")
     assert(!rrf.contains("CartesianProduct"), s"hybrid fusion plans a cartesian product:\n$rrf")
   }
+
+  test("salted join/agg are semantically invisible (round-7 skew evidence)") {
+    import org.apache.spark.sql.functions._
+    val dir = sf()
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      .join(spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_orderpriority"), "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+      .collect().toSeq
+    val salted = SparkEntry.queries("q_salted_join")(spark, dir).collect().toSeq
+    assert(salted == plain)
+
+    val distinctPlain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_suppkey").cast("int").as("distinct_suppliers"), count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+      .collect().toSeq
+    val distinctSalted = SparkEntry.queries("q_salted_agg")(spark, dir).collect().toSeq
+    assert(distinctSalted == distinctPlain)
+  }
+
+  test("q_ivf_rewrite: rule fires, matches the explicit probe path, and prunes") {
+    val row = SparkEntry.queries("q_ivf_rewrite")(spark, sf()).collect().head
+    assert(row.getBoolean(0), "IvfTopKPrune did not fire on the registered collection")
+    assert(row.getBoolean(1), "rewritten result diverged from the explicit IVF path")
+    assert(row.getBoolean(2), "nprobe did not prune (nprobe >= nlist)")
+  }
 }
