@@ -2147,6 +2147,132 @@ object QueryCatalog {
        count(*) AS n_items
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Prefix-filtered set-similarity join, driver-graded: the
+    * open-vocabulary exact-Jaccard scale path (rarest-token prefix
+    * index — hot tokens never drive the candidate join) must produce
+    * EXACTLY the exhaustive pairwise word-token Jaccard the oracle
+    * computes: green == recall 1.0 for the prefix filter, same
+    * contract as q_ngram_jaccard for the bigram inverted index.
+    *
+    * The graded slice is capped at 500 docs: this synthetic corpus is
+    * near-dup SATURATED (30k qualifying pairs in 500 docs), so the
+    * exact pair OUTPUT — for any algorithm — grows quadratically with
+    * corpus size, as does the exhaustive oracle that certifies it.
+    * The cap grades algorithmic parity at fixed density; the
+    * operator's scale property (rarest-token prefix keeps hot tokens
+    * out of the candidate join) is what DedupSpec asserts, and on a
+    * real open-vocabulary corpus the output is sparse.
+    */
+  val qPrefixJaccard: Q = (s, dir) => {
+    val d = tbl(s, dir, "documents").filter(col("doc_id") < 500)
+    Dedup
+      .prefixJaccardPairs(d, "doc_id", "text", threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val qPrefixJaccardSql: String =
+    raw"""WITH t AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                             x -> x <> '')) AS s
+            FROM documents WHERE doc_id < 500)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.s, b.s)) * 1.0 /
+                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+            AND len(list_intersect(a.s, b.s)) * 1.0 /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+          ORDER BY id_a, id_b"""
+
+  /** The SQL function surface, driver-graded: after
+    * [[graft.functions.GraftFunctions.registerAll]] the engine's native
+    * codegen'd expressions are callable from `spark.sql(...)` text —
+    * the deployment path is `spark.sql.extensions=GraftExtensions`,
+    * this exercises the same builders imperatively. dot_product folds
+    * the array left-to-right in a double accumulator exactly like
+    * DuckDB's list_dot_product, so the scores replay bit-for-bit.
+    */
+  val qSqlSurface: Q = (s, dir) => {
+    graft.functions.GraftFunctions.registerAll(s)
+    tbl(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings_sql")
+    s.sql("""SELECT vec_id, round(dot_product(embedding, embedding), 4) AS sq_norm
+             FROM graft_embeddings_sql
+             ORDER BY sq_norm DESC, vec_id
+             LIMIT 20""")
+  }
+
+  val qSqlSurfaceSql: String =
+    """SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 4) AS sq_norm
+       FROM embeddings
+       ORDER BY sq_norm DESC, vec_id
+       LIMIT 20"""
+
+  /** Bucketed catalog tables per sf dir — the co-located-join layout
+    * written once per JVM (load-side work, like the IVF index):
+    * lineitem and orders bucketed (and sorted) on the join key with
+    * the SAME bucket count, so the repeated join carries no shuffle on
+    * either side.
+    */
+  private val bucketedCache = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def bucketedTablesFor(s: SparkSession, dir: String): (String, String) =
+    bucketedCache.getOrElseUpdate(
+      dir, {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (lt, ot) = (s"bt_lineitem$tag", s"bt_orders$tag")
+        // A fresh JVM's in-memory catalog doesn't know tables a
+        // PREVIOUS run left in the on-disk warehouse, so Overwrite
+        // cannot replace them and CREATE fails with
+        // LOCATION_ALREADY_EXISTS — drop both the catalog entry and
+        // the stale location before (re)writing.
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        Seq(lt, ot).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, t))
+        }
+        val store = new graft.store.VectorStore(
+          java.nio.file.Files.createTempDirectory("graft-bt").toString)
+        store.writeBucketedTable(
+          tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity"), lt, "l_orderkey", 8)
+        store.writeBucketedTable(
+          tbl(s, dir, "orders").select("o_orderkey", "o_orderstatus"), ot, "o_orderkey", 8)
+        (lt, ot)
+      }
+    )
+
+  /** Bucketed co-located join, driver-graded: the merge-hinted join of
+    * the two 8-bucket tables must plan with ZERO hash-partitioning
+    * exchanges AND read through the bucket layout ("Bucketed: true") —
+    * both checked on the executed plan and emitted as a graded column —
+    * while the rows match the plain-join oracle. The merge hint forces
+    * the sort-merge path the bucket layout exists for (small testdata
+    * sides would otherwise broadcast, sidestepping bucketing; at the
+    * 100 TB scale this layout targets, neither side broadcasts).
+    * Integer-valued sums keep parity exact.
+    */
+  val qBucketedJoin: Q = (s, dir) => {
+    val (lt, ot) = bucketedTablesFor(s, dir)
+    val joined = s.table(lt).hint("merge")
+      .join(s.table(ot).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val colocated = !plan.contains("Exchange hashpartitioning") && plan.contains("Bucketed: true")
+    joined
+      .groupBy("o_orderstatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .withColumn("colocated_no_shuffle", lit(colocated))
+      .orderBy("o_orderstatus")
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT o_orderstatus, sum(l_quantity) AS sum_qty, count(*) AS n_items,
+       true AS colocated_no_shuffle
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderstatus
+       ORDER BY o_orderstatus"""
+
   /** Indexed-collection path per sf dir for the optimizer-rewrite
     * evidence: the labeled IVF corpus laid down exactly as
     * [[graft.store.VectorStore.writeIndexed]] does — cluster_id as a
@@ -2297,6 +2423,9 @@ object QueryCatalog {
     "q_salted_join" -> qSaltedJoin,
     "q_salted_agg" -> qSaltedAgg,
     "q_ivf_rewrite" -> qIvfRewrite,
+    "q_bucketed_join" -> qBucketedJoin,
+    "q_prefix_jaccard" -> qPrefixJaccard,
+    "q_sql_surface" -> qSqlSurface,
     "q_truncate_project" -> qTruncateProject,
     "q_collection_name" -> qCollectionName,
     "q_media_features" -> qMediaFeatures,
@@ -2363,6 +2492,9 @@ object QueryCatalog {
     "q_salted_join" -> qSaltedJoinSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_ivf_rewrite" -> qIvfRewriteSql,
+    "q_bucketed_join" -> qBucketedJoinSql,
+    "q_prefix_jaccard" -> qPrefixJaccardSql,
+    "q_sql_surface" -> qSqlSurfaceSql,
     "q_truncate_project" -> qTruncateProjectSql,
     "q_collection_name" -> qCollectionNameSql,
     "q_media_features" -> qMediaFeaturesSql,

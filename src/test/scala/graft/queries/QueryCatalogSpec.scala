@@ -117,6 +117,22 @@ class QueryCatalogSpec extends SparkTestBase {
     assert(distinctSalted == distinctPlain)
   }
 
+  test("q_bucketed_join: co-located plan certified and rows match the plain join") {
+    import org.apache.spark.sql.functions._
+    val dir = sf()
+    val rows = SparkEntry.queries("q_bucketed_join")(spark, dir).collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)), "bucketed join planned a shuffle or ignored buckets")
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderstatus")
+      .collect().toSeq
+    assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))) ==
+      plain.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))))
+  }
+
   test("q_ivf_rewrite: rule fires, matches the explicit probe path, and prunes") {
     val row = SparkEntry.queries("q_ivf_rewrite")(spark, sf()).collect().head
     assert(row.getBoolean(0), "IvfTopKPrune did not fire on the registered collection")
