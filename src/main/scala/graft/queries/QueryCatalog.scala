@@ -2147,6 +2147,65 @@ object QueryCatalog {
        count(*) AS n_items
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Approximate distinct count, driver-graded with a bounded-error
+    * contract: at 100 TB an EXACT count(DISTINCT key) shuffles every
+    * distinct key; HLL++ (`approx_count_distinct`) is a constant-size
+    * mergeable sketch that combines map-side. The sketch value is
+    * engine-specific, so the engine-independent claims are the exact
+    * count (DuckDB-replayed) and the pinned relative-error bound —
+    * the row goes red if sketch accuracy regresses past 5% (rsd is
+    * set to 2%, so 5% is >2 sigma of slack).
+    */
+  val qApproxDistinct: Q = (s, dir) => {
+    val l = tbl(s, dir, "lineitem")
+    val row = l
+      .agg(
+        countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx"))
+      .head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    val ok = math.abs(approx - exact).toDouble / exact <= 0.05
+    import s.implicits._
+    Seq((exact, ok)).toDF("exact_distinct", "approx_within_5pct")
+  }
+
+  val qApproxDistinctSql: String =
+    """SELECT count(DISTINCT l_partkey) AS exact_distinct,
+       true AS approx_within_5pct
+       FROM lineitem"""
+
+  /** Approximate quantiles, same contract: exact percentiles need a
+    * full sort (or a per-group collect); the Greenwald-Khanna sketch
+    * behind `approxQuantile` is one-pass, mergeable, and ε-bounded.
+    * The exact interpolated percentiles replay in DuckDB
+    * (quantile_cont uses the same (n-1)·p interpolation as Spark's
+    * percentile); the sketch is graded by its pinned error bound
+    * against them.
+    */
+  val qApproxQuantile: Q = (s, dir) => {
+    val l = tbl(s, dir, "lineitem")
+    // exact + sketch in ONE aggregation pass — approx_percentile is
+    // the same GK sketch as DataFrameStatFunctions.approxQuantile but
+    // composes into the agg, so the comparison costs one scan.
+    val row = l
+      .agg(
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("ap"))
+      .head()
+    val ex = row.getSeq[Double](0)
+    val approx = row.getSeq[Double](1)
+    val ok = approx.zip(ex).forall { case (a, e) => math.abs(a - e) / e <= 0.01 }
+    import s.implicits._
+    Seq((math.round(ex(0) * 100) / 100.0, math.round(ex(1) * 100) / 100.0, ok))
+      .toDF("p50", "p95", "approx_within_1pct")
+  }
+
+  val qApproxQuantileSql: String =
+    """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+       true AS approx_within_1pct
+       FROM lineitem"""
+
   /** Prefix-filtered set-similarity join, driver-graded: the
     * open-vocabulary exact-Jaccard scale path (rarest-token prefix
     * index — hot tokens never drive the candidate join) must produce
@@ -2426,6 +2485,8 @@ object QueryCatalog {
     "q_bucketed_join" -> qBucketedJoin,
     "q_prefix_jaccard" -> qPrefixJaccard,
     "q_sql_surface" -> qSqlSurface,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_quantile" -> qApproxQuantile,
     "q_truncate_project" -> qTruncateProject,
     "q_collection_name" -> qCollectionName,
     "q_media_features" -> qMediaFeatures,
@@ -2495,6 +2556,8 @@ object QueryCatalog {
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_prefix_jaccard" -> qPrefixJaccardSql,
     "q_sql_surface" -> qSqlSurfaceSql,
+    "q_approx_distinct" -> qApproxDistinctSql,
+    "q_approx_quantile" -> qApproxQuantileSql,
     "q_truncate_project" -> qTruncateProjectSql,
     "q_collection_name" -> qCollectionNameSql,
     "q_media_features" -> qMediaFeaturesSql,
