@@ -93,6 +93,16 @@ object QualityMonitor {
         .otherwise(lit("ok"))
     )
 
+  /** G10's serialization half — the reference dumps the validation
+    * report as JSON (main.py:209-211; the DAG pushes the same dict to
+    * XCom). `to_json(struct(*))` keeps the serialization in the plan
+    * (codegen'd, no driver-side formatting), one JSON document per
+    * report row.
+    */
+  def reportJson(df: DataFrame, tokensCol: String): DataFrame =
+    report(df, tokensCol)
+      .select(to_json(struct(col("*"))).as("report_json"))
+
   /** G9 — seeded random sample of n rows for review (quality_monitor.py:143-158). */
   def sampleReview(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed)).limit(n)

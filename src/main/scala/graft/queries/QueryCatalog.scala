@@ -2147,6 +2147,66 @@ object QueryCatalog {
        count(*) AS n_items
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Binned interval join, driver-graded: per-user 30-minute windows
+    * (anchored at each user's first event) joined to the FULL event
+    * stream by point-in-interval containment. The naive form is a
+    * BroadcastNestedLoopJoin — O(points·intervals) comparisons;
+    * [[graft.operators.RangeJoin.intervalJoin]] bins both sides
+    * (10-minute bins, exact integer arithmetic in epoch micros) into
+    * an ordinary hash-shuffled equi-join, verified against DuckDB's
+    * exact BETWEEN join.
+    */
+  val qIntervalJoin: Q = (s, dir) => {
+    val e = tbl(s, dir, "events").withColumn("t_us", expr("ts div 1000"))
+    val w = e
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id").as("w_user"))
+      .agg(min(col("t_us")).as("w_start"))
+      .withColumn("w_end", col("w_start") + lit(1800000000L))
+    graft.operators.RangeJoin
+      .intervalJoin(e.select("t_us", "event_id"), "t_us", w, "w_start", "w_end", 600000000L)
+      .groupBy("w_user")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("event_id")).as("n_distinct"))
+      .orderBy("w_user")
+  }
+
+  val qIntervalJoinSql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS t_us, event_id, user_id FROM events),
+         w AS (SELECT user_id AS w_user, min(t_us) AS w_start,
+                      min(t_us) + 1800000000 AS w_end
+               FROM e WHERE user_id < 20 GROUP BY user_id)
+       SELECT w_user, count(*) AS n_events, count(DISTINCT event_id) AS n_distinct
+       FROM e JOIN w ON e.t_us >= w.w_start AND e.t_us <= w.w_end
+       GROUP BY w_user ORDER BY w_user"""
+
+  /** Typed-Aggregator UDAF surface, driver-graded: exact element-wise
+    * vector mean per label — the distributed centroid-update step of
+    * IVF training as ONE aggregate with map-side partial combine (no
+    * explode, no per-dimension shuffle). The oracle re-derives sampled
+    * dimensions from the raw arrays; round(9) absorbs partial-sum
+    * reordering (values ~0.1, reorder error ~1e-12).
+    */
+  val qVectorMean: Q = (s, dir) => {
+    val e = tbl(s, dir, "embeddings")
+    e.groupBy(col("label"))
+      .agg(
+        graft.functions.VectorAggregates.vectorMean(col("embedding")).as("m"),
+        count(lit(1)).as("n"))
+      .select(
+        col("label"),
+        round(element_at(col("m"), 1), 9).as("mean_d1"),
+        round(element_at(col("m"), 33), 9).as("mean_d33"),
+        col("n"))
+      .orderBy("label")
+  }
+
+  val qVectorMeanSql: String =
+    """SELECT label,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 9) AS mean_d1,
+       round(avg(CAST(embedding[33] AS DOUBLE)), 9) AS mean_d33,
+       count(*) AS n
+       FROM embeddings GROUP BY label ORDER BY label"""
+
   /** Approximate distinct count, driver-graded with a bounded-error
     * contract: at 100 TB an EXACT count(DISTINCT key) shuffles every
     * distinct key; HLL++ (`approx_count_distinct`) is a constant-size
@@ -2487,6 +2547,8 @@ object QueryCatalog {
     "q_sql_surface" -> qSqlSurface,
     "q_approx_distinct" -> qApproxDistinct,
     "q_approx_quantile" -> qApproxQuantile,
+    "q_interval_join" -> qIntervalJoin,
+    "q_vector_mean" -> qVectorMean,
     "q_truncate_project" -> qTruncateProject,
     "q_collection_name" -> qCollectionName,
     "q_media_features" -> qMediaFeatures,
@@ -2558,6 +2620,8 @@ object QueryCatalog {
     "q_sql_surface" -> qSqlSurfaceSql,
     "q_approx_distinct" -> qApproxDistinctSql,
     "q_approx_quantile" -> qApproxQuantileSql,
+    "q_interval_join" -> qIntervalJoinSql,
+    "q_vector_mean" -> qVectorMeanSql,
     "q_truncate_project" -> qTruncateProjectSql,
     "q_collection_name" -> qCollectionNameSql,
     "q_media_features" -> qMediaFeaturesSql,

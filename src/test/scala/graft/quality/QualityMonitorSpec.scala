@@ -94,6 +94,22 @@ class QualityMonitorSpec extends SparkTestBase {
     assert(r3.getAs[String]("recommendation") == "ok")
   }
 
+  test("G10: reportJson serializes the report row and parses back losslessly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val tight = Seq(350, 400, 400, 400, 450, 400).toDF("tokens")
+    val json = QualityMonitor.reportJson(tight, "tokens").as[String].head()
+    val schema = StructType(Seq(
+      StructField("total_chunks", LongType), StructField("in_range_pct", DoubleType),
+      StructField("cv_pct", DoubleType), StructField("avg_tokens", DoubleType),
+      StructField("std_tokens", DoubleType), StructField("recommendation", StringType)))
+    val back = spark.createDataset(Seq(json)).select(from_json(col("value"), schema).as("r"))
+      .select("r.*").head()
+    assert(back.getAs[Long]("total_chunks") == 6L)
+    assert(back.getAs[Double]("in_range_pct") == 100.0)
+    assert(back.getAs[String]("recommendation") == "ok")
+  }
+
   test("G4: histogram handles a constant column (degenerate width)") {
     import spark.implicits._
     val df = Seq.fill(50)(7).toDF("x")
