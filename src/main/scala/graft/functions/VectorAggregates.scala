@@ -35,8 +35,12 @@ object VectorMeanAggregator extends Aggregator[Seq[Float], VecMeanBuffer, Seq[Do
   }
 
   override def merge(x: VecMeanBuffer, y: VecMeanBuffer): VecMeanBuffer = {
-    if (y.sum.isEmpty) return x
-    if (x.sum.isEmpty) return y
+    // n == 0 is the only "nothing accumulated" state: a buffer can
+    // carry sum.isEmpty with n > 0 (zero-length input vectors), and
+    // dropping its count would make the result depend on partition
+    // layout — zero-dim vs d-dim mixes must fail exactly like reduce.
+    if (y.n == 0L) return x
+    if (x.n == 0L) return y
     require(x.sum.length == y.sum.length,
       s"vector_mean over ragged vectors: ${x.sum.length} vs ${y.sum.length}")
     var i = 0

@@ -52,11 +52,16 @@ object IvfTopKPrune extends Rule[LogicalPlan] {
   }
 
   /** Idempotence guard for the fixed-point batch: skip plans that
-    * already carry a cluster_id IN filter.
+    * already carry a cluster_id IN filter. OptimizeIn has already run
+    * by the time the user-provided batch sees the plan, so an explicit
+    * `.isin(probes)` with more than inSetConversionThreshold (10)
+    * values arrives as InSet, not In — both shapes must be recognized
+    * or the rule re-fires on already-probed queries.
     */
   private def alreadyPruned(plan: LogicalPlan): Boolean =
     plan.exists {
       case Filter(In(a: AttributeReference, _), _) => a.name == "cluster_id"
+      case Filter(InSet(a: AttributeReference, _), _) => a.name == "cluster_id"
       case _ => false
     }
 

@@ -101,7 +101,11 @@ object QualityMonitor {
     */
   def reportJson(df: DataFrame, tokensCol: String): DataFrame =
     report(df, tokensCol)
-      .select(to_json(struct(col("*"))).as("report_json"))
+      .select(
+        // json.dump always emits every key (null metrics on an empty
+        // corpus included) — consumers key on field presence
+        to_json(struct(col("*")), Map("ignoreNullFields" -> "false"))
+          .as("report_json"))
 
   /** G9 — seeded random sample of n rows for review (quality_monitor.py:143-158). */
   def sampleReview(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =

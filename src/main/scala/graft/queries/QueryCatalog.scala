@@ -2255,9 +2255,17 @@ object QueryCatalog {
     val ex = row.getSeq[Double](0)
     val approx = row.getSeq[Double](1)
     val ok = approx.zip(ex).forall { case (a, e) => math.abs(a - e) / e <= 0.01 }
+    // round through Spark's round() (BigDecimal HALF_UP on the exact
+    // double) — the same semantics every other rounded oracle in this
+    // catalog relies on. An even row count puts p50 on a half-cent
+    // midpoint, where driver-side math.round(x*100) and the engines'
+    // decimal rounding can disagree.
     import s.implicits._
-    Seq((math.round(ex(0) * 100) / 100.0, math.round(ex(1) * 100) / 100.0, ok))
-      .toDF("p50", "p95", "approx_within_1pct")
+    Seq((ex(0), ex(1), ok)).toDF("p50_raw", "p95_raw", "ok")
+      .select(
+        round(col("p50_raw"), 2).as("p50"),
+        round(col("p95_raw"), 2).as("p95"),
+        col("ok").as("approx_within_1pct"))
   }
 
   val qApproxQuantileSql: String =
@@ -2350,10 +2358,11 @@ object QueryCatalog {
         val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
         Seq(lt, ot).foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $t")
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, t))
+          // managed-table directories are lowercased by the catalog
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(wh, t.toLowerCase(java.util.Locale.ROOT)))
         }
-        val store = new graft.store.VectorStore(
-          java.nio.file.Files.createTempDirectory("graft-bt").toString)
+        val store = new graft.store.VectorStore(wh)
         store.writeBucketedTable(
           tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity"), lt, "l_orderkey", 8)
         store.writeBucketedTable(

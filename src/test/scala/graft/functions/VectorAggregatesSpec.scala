@@ -45,6 +45,18 @@ class VectorAggregatesSpec extends SparkTestBase {
     assert(m == Seq(3.0, 6.0))
   }
 
+  test("zero-length vectors count toward n regardless of partition layout") {
+    import spark.implicits._
+    // all-empty group: mean is Seq.empty, and the count is carried
+    // through merge (a buffer with sum.isEmpty but n > 0 is NOT the
+    // zero buffer)
+    val df = Seq((0, Seq.empty[Float]), (0, Seq.empty[Float])).toDF("label", "vec")
+      .repartition(4)
+    val m = df.groupBy("label").agg(VectorAggregates.vectorMean(col("vec")).as("m"))
+      .as[(Int, Seq[Double])].head()
+    assert(m == ((0, Seq.empty[Double])))
+  }
+
   test("empty and null handling") {
     import spark.implicits._
     val df = Seq((0, Option(Seq(1.0f, 1.0f))), (0, None)).toDF("label", "vec")

@@ -56,6 +56,33 @@ class IvfTopKPruneSpec extends SparkTestBase {
     }
   }
 
+  test("explicit isin with >10 probes (InSet after OptimizeIn) is not double-filtered") {
+    val root = Files.createTempDirectory("graft-rule-inset").toString
+    val store = new VectorStore(root)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val cfg = IndexConfig(nlist = 16, nprobe = 12) // 12 > inSetConversionThreshold (10)
+    val (labeled, centroids) = IvfIndex.build(e, "embedding", cfg)
+    store.writeIndexed(labeled, "vectors")
+    val path = s"$root/vectors"
+    IvfCatalog.register(path, centroids, cfg.nprobe)
+    IvfPruning.enable(spark)
+    try {
+      val q = e.filter(col("vec_id") === 3).head().getSeq[Float](1).toArray
+      val probes = IvfIndex.nearestClusters(q, centroids, cfg.nprobe)
+      val explicit = VectorSearch.topK(
+        spark.read.parquet(path).filter(col("cluster_id").isin(probes.map(Int.box): _*)), q, 10)
+      val optimized = explicit.queryExecution.optimizedPlan
+      val filters = optimized.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.exists(_.name == "cluster_id") => f
+      }
+      assert(filters.size == 1, s"rule re-fired on an already-probed (InSet) query:\n$optimized")
+    } finally {
+      IvfPruning.disable(spark)
+      IvfCatalog.clear()
+    }
+  }
+
   test("rule is idempotent under the fixed-point batch (no filter stacking)") {
     val (path, centroids, cfg, e) = setup()
     IvfCatalog.register(path, centroids, cfg.nprobe)

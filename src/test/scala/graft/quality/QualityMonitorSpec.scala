@@ -108,6 +108,14 @@ class QualityMonitorSpec extends SparkTestBase {
     assert(back.getAs[Long]("total_chunks") == 6L)
     assert(back.getAs[Double]("in_range_pct") == 100.0)
     assert(back.getAs[String]("recommendation") == "ok")
+
+    // empty corpus: every metric key still present (null, not omitted)
+    // — the reference's json.dump always emits the full dict
+    val emptyJson = QualityMonitor
+      .reportJson(Seq.empty[Int].toDF("tokens"), "tokens").as[String].head()
+    assert(emptyJson.contains("\"total_chunks\":0"))
+    assert(emptyJson.contains("\"in_range_pct\":null"), emptyJson)
+    assert(emptyJson.contains("\"cv_pct\":null"), emptyJson)
   }
 
   test("G4: histogram handles a constant column (degenerate width)") {
