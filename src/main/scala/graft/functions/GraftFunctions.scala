@@ -16,14 +16,46 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  import org.apache.spark.sql.{Column, GraftBridge}
+
+  /** Lift a Column-level function into a FunctionRegistry builder: the
+    * Column composition is resolved to one Expression tree at parse
+    * time, so the SQL form plans and codegens exactly like the Column
+    * API call it wraps.
+    */
+  private def wrap1(name: String)(f: Column => Column): Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"$name expects 1 argument, got ${exprs.length}")
+    GraftBridge.expression(f(GraftBridge.column(exprs.head)))
+  }
+
+  private def wrap2(name: String)(f: (Column, Column) => Column): Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$name expects 2 arguments, got ${exprs.length}")
+    GraftBridge.expression(f(GraftBridge.column(exprs(0)), GraftBridge.column(exprs(1))))
+  }
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_product" -> { exprs => DotProduct(exprs(0), exprs(1)) }
+    "dot_product" -> { exprs => DotProduct(exprs(0), exprs(1)) },
+    "cosine_sim" -> wrap2("cosine_sim")(VectorFunctions.cosineSimilarity),
+    "graft_clean_text" -> wrap1("graft_clean_text")(graft.clean.TextCleaner.cleanText),
+    "graft_clean_hwp" -> wrap1("graft_clean_hwp")(graft.clean.TextCleaner.cleanHwpText),
+    "detect_language" -> wrap1("detect_language")(graft.lang.LanguageDetect.detectContentLanguage),
+    "estimate_tokens" -> wrap1("estimate_tokens")(graft.lang.LanguageDetect.estimateTokens),
+    "token_count_bpeish" -> wrap1("token_count_bpeish")(graft.text.TextAnalysis.tokenCountBpeish),
+    "quality_score" -> wrap1("quality_score")(graft.text.TextAnalysis.qualityScore),
+    "langid_ngram" -> wrap1("langid_ngram")(graft.text.TextAnalysis.languageIdNgram),
+    "fingerprint64" -> wrap1("fingerprint64")(graft.text.TextAnalysis.fingerprint64)
   )
 
-  def registerAll(spark: SparkSession): Unit =
+  /** Registers every SQL function above plus the `vector_mean` UDAF
+    * (imperative-only: UDAFs go through spark.udf, not the
+    * FunctionRegistry builder path the extension injects).
+    */
+  def registerAll(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       GraftBridge.registerFunction(spark, name, builder)
     }
+    VectorAggregates.register(spark)
+  }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, builder) =>

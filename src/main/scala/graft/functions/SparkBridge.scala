@@ -9,7 +9,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Column → catalyst Expression via the full node converter —
+    * unlike `ExpressionUtils.expression`, which wraps any
+    * non-catalyst-backed node (e.g. `functions.coalesce`'s
+    * UnresolvedFunction) in an Unevaluable ColumnNodeExpression leaf
+    * that the analyzer never touches, the converter lowers every node
+    * kind to a real (possibly unresolved) catalyst expression the
+    * analyzer then resolves.
+    */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Register a named SQL function on a live session (the
     * FunctionRegistry is private[sql]).

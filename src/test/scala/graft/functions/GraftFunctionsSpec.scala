@@ -23,6 +23,50 @@ class GraftFunctionsSpec extends SparkTestBase {
     rows.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-3))
   }
 
+  test("wrapped Column functions: SQL text equals the Column API result") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(50).cache()
+    docs.createOrReplaceTempView("gf_docs")
+
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_clean_text(text) AS cleaned, detect_language(text) AS lang,
+                estimate_tokens(text) AS toks, quality_score(text) AS q,
+                fingerprint64(text) AS fp
+         FROM gf_docs ORDER BY doc_id""").collect()
+    val viaCols = docs.select(
+      col("doc_id"),
+      graft.clean.TextCleaner.cleanText(col("text")).as("cleaned"),
+      graft.lang.LanguageDetect.detectContentLanguage(col("text")).as("lang"),
+      graft.lang.LanguageDetect.estimateTokens(col("text")).as("toks"),
+      graft.text.TextAnalysis.qualityScore(col("text")).as("q"),
+      graft.text.TextAnalysis.fingerprint64(col("text")).as("fp")
+    ).orderBy("doc_id").collect()
+    assert(viaSql.toSeq == viaCols.toSeq)
+
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))")
+      .head().getDouble(0)
+    assert(cos == 0.0)
+    docs.unpersist()
+  }
+
+  test("wrong arity yields a named error, not IndexOutOfBounds") {
+    GraftFunctions.registerAll(spark)
+    val e = intercept[Exception](spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))").head())
+    assert(e.getMessage.contains("cosine_sim expects 2 arguments"))
+  }
+
+  test("registerAll also registers the vector_mean UDAF") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    Seq((0, Seq(2.0f, 6.0f))).toDF("label", "vec").createOrReplaceTempView("gf_vm")
+    val m = spark.sql("SELECT vector_mean(vec) FROM gf_vm GROUP BY label")
+      .as[Seq[Double]].head()
+    assert(m == Seq(2.0, 6.0))
+  }
+
   test("GraftExtensions is instantiable for spark.sql.extensions") {
     // deployment path smoke: the class must be a no-arg
     // (SparkSessionExtensions => Unit) — instantiation is what the
