@@ -43,19 +43,26 @@ object GraftFunctions {
     "token_count_bpeish" -> wrap1("token_count_bpeish")(graft.text.TextAnalysis.tokenCountBpeish),
     "quality_score" -> wrap1("quality_score")(graft.text.TextAnalysis.qualityScore),
     "langid_ngram" -> wrap1("langid_ngram")(graft.text.TextAnalysis.languageIdNgram),
-    "fingerprint64" -> wrap1("fingerprint64")(graft.text.TextAnalysis.fingerprint64)
+    "fingerprint64" -> wrap1("fingerprint64")(graft.text.TextAnalysis.fingerprint64),
+    // The UDAF rides the same builder table: GraftBridge.aggregatorBuilder
+    // plants the ScalaAggregator expression spark.udf.register would, so
+    // the extensions path and registerAll expose an identical surface.
+    "vector_mean" -> GraftBridge.aggregatorBuilder(
+      org.apache.spark.sql.functions.udaf(VectorMeanAggregator))
   )
 
-  /** Registers every SQL function above plus the `vector_mean` UDAF
-    * (imperative-only: UDAFs go through spark.udf, not the
-    * FunctionRegistry builder path the extension injects).
-    */
-  def registerAll(spark: SparkSession): Unit = {
+  /** Names of every SQL function the surface registers. */
+  val names: Seq[String] = functions.map(_._1)
+
+  /** Registers every SQL function above, `vector_mean` UDAF included. */
+  def registerAll(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
       GraftBridge.registerFunction(spark, name, builder)
     }
-    VectorAggregates.register(spark)
-  }
+
+  /** Undo [[registerAll]]: drop every temp-function entry it created. */
+  def unregisterAll(spark: SparkSession): Unit =
+    names.foreach(GraftBridge.dropFunction(spark, _))
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, builder) =>

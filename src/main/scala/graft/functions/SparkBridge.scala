@@ -31,4 +31,30 @@ object GraftBridge {
   ): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** FunctionRegistry builder for a typed Aggregator UDAF — the same
+    * ScalaAggregator expression `spark.udf.register` would plant, but
+    * shaped as a builder so `SparkSessionExtensions.injectFunction`
+    * can carry it (UDAFs otherwise only reach SQL through a live
+    * session's UDFRegistration).
+    */
+  def aggregatorBuilder(
+      udf: expressions.UserDefinedFunction
+  ): Seq[Expression] => Expression = {
+    val uda = udf.asInstanceOf[expressions.UserDefinedAggregator[_, _, _]]
+    children => execution.aggregate.ScalaAggregator(uda, children).toAggregateExpression()
+  }
+
+  /** Drop a temp function if present (registry is private[sql]). */
+  def dropFunction(spark: SparkSession, name: String): Unit =
+    spark.sessionState.functionRegistry
+      .dropFunction(catalyst.FunctionIdentifier(name))
+
+  /** Replay a SparkSessionExtensions' injected functions onto a live
+    * session's registry — exactly what BaseSessionStateBuilder does at
+    * session build; lets tests exercise the `spark.sql.extensions`
+    * deployment path without tearing down the shared test session.
+    */
+  def applyInjectedFunctions(spark: SparkSession, ext: SparkSessionExtensions): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

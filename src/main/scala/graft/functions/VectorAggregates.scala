@@ -25,7 +25,12 @@ object VectorMeanAggregator extends Aggregator[Seq[Float], VecMeanBuffer, Seq[Do
 
   override def reduce(b: VecMeanBuffer, a: Seq[Float]): VecMeanBuffer = {
     if (a == null) return b
-    if (b.sum.isEmpty) b.sum = new Array[Double](a.length)
+    // The dimension is fixed by the FIRST vector reduced (n == 0), not by
+    // the first non-empty one: a zero-length first vector pins dim 0, so a
+    // later d-dim vector in the same group fails the require below exactly
+    // like it would across partitions in merge — ragged behavior must not
+    // depend on partition layout.
+    if (b.n == 0L) b.sum = new Array[Double](a.length)
     require(b.sum.length == a.length,
       s"vector_mean over ragged vectors: ${b.sum.length} vs ${a.length}")
     var i = 0

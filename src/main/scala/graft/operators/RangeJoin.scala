@@ -50,6 +50,14 @@ object RangeJoin {
       binSize: Long
   ): DataFrame = {
     require(binSize > 0, "binSize must be positive")
+    // The bin key is an internal artifact: refuse inputs that already carry
+    // it (it would be silently overwritten), and refuse shared column names
+    // (the post-join BETWEEN filter could resolve to the wrong side).
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "inputs must not contain a __bin column")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals must not share column names: ${shared.mkString(", ")}")
     val p = points.withColumn("__bin", floorDiv(col(pointCol), binSize))
     val i = intervals
       .withColumn("__bin", explode(sequence(floorDiv(col(startCol), binSize), floorDiv(col(endCol), binSize))))

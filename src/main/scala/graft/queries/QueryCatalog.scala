@@ -2326,12 +2326,25 @@ object QueryCatalog {
     * DuckDB's list_dot_product, so the scores replay bit-for-bit.
     */
   val qSqlSurface: Q = (s, dir) => {
+    // Scope the session-state mutation like qIvfRewrite does: register,
+    // plan the statement, then restore the registry and drop the view so
+    // later catalog queries run against an unaltered session. The returned
+    // DataFrame's analyzed plan already holds the resolved expressions and
+    // the view's child plan, so execution after cleanup is unaffected.
     graft.functions.GraftFunctions.registerAll(s)
-    tbl(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings_sql")
-    s.sql("""SELECT vec_id, round(dot_product(embedding, embedding), 4) AS sq_norm
-             FROM graft_embeddings_sql
-             ORDER BY sq_norm DESC, vec_id
-             LIMIT 20""")
+    try {
+      tbl(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings_sql")
+      val out =
+        s.sql("""SELECT vec_id, round(dot_product(embedding, embedding), 4) AS sq_norm
+                 FROM graft_embeddings_sql
+                 ORDER BY sq_norm DESC, vec_id
+                 LIMIT 20""")
+      out.queryExecution.analyzed // force resolution before the registry reverts
+      out
+    } finally {
+      graft.functions.GraftFunctions.unregisterAll(s)
+      s.catalog.dropTempView("graft_embeddings_sql")
+    }
   }
 
   val qSqlSurfaceSql: String =

@@ -74,4 +74,30 @@ class GraftFunctionsSpec extends SparkTestBase {
     val ext = new GraftExtensions()
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
+
+  test("extensions path registers the same surface as registerAll, vector_mean included") {
+    import org.apache.spark.sql.{GraftBridge, SparkSessionExtensions}
+    import spark.implicits._
+    // Replay the injected functions the way session build would, then
+    // call the UDAF from SQL — proves the two deployment paths expose
+    // the identical function set (ADVICE r7).
+    GraftFunctions.unregisterAll(spark)
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    GraftBridge.applyInjectedFunctions(spark, ext)
+    try {
+      Seq((0, Seq(2.0f, 6.0f)), (0, Seq(4.0f, 0.0f))).toDF("label", "vec")
+        .createOrReplaceTempView("gf_ext_vm")
+      val m = spark.sql("SELECT vector_mean(vec) FROM gf_ext_vm GROUP BY label")
+        .as[Seq[Double]].head()
+      assert(m == Seq(3.0, 3.0))
+      val d = spark
+        .sql("SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+        .head().getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      spark.catalog.dropTempView("gf_ext_vm")
+      GraftFunctions.unregisterAll(spark)
+    }
+  }
 }

@@ -57,6 +57,21 @@ class VectorAggregatesSpec extends SparkTestBase {
     assert(m == ((0, Seq.empty[Double])))
   }
 
+  test("zero-dim/d-dim mix fails deterministically even within one partition") {
+    import spark.implicits._
+    // ADVICE r7: before the fix, an empty vector followed by a d-dim one
+    // in the SAME partition silently diluted the mean (sum allocated late,
+    // n already incremented) while the cross-partition split threw in
+    // merge. The dimension is now pinned by the first reduced vector, so
+    // the mix fails identically regardless of layout.
+    val df = Seq((0, Seq.empty[Float]), (0, Seq(1.0f, 2.0f))).toDF("label", "vec")
+      .coalesce(1)
+    val e = intercept[Exception] {
+      df.groupBy("label").agg(VectorAggregates.vectorMean(col("vec")).as("m")).collect()
+    }
+    assert(e.getMessage.contains("ragged") || e.getCause != null)
+  }
+
   test("empty and null handling") {
     import spark.implicits._
     val df = Seq((0, Option(Seq(1.0f, 1.0f))), (0, None)).toDF("label", "vec")

@@ -43,6 +43,20 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got == Set(1L, 2L))
   }
 
+  test("refuses __bin collisions and shared column names (ADVICE r7)") {
+    import spark.implicits._
+    val points = Seq((1L, 5L)).toDF("pid", "t")
+    val intervals = Seq((1L, 0L, 10L)).toDF("iid", "s", "e")
+    val withBin = points.withColumn("__bin", lit(0L))
+    val eBin = intercept[IllegalArgumentException](
+      RangeJoin.intervalJoin(withBin, "t", intervals, "s", "e", 10L))
+    assert(eBin.getMessage.contains("__bin"))
+    val shared = intervals.withColumnRenamed("iid", "pid") // collides with points.pid
+    val eShared = intercept[IllegalArgumentException](
+      RangeJoin.intervalJoin(points, "t", shared, "s", "e", 10L))
+    assert(eShared.getMessage.contains("share column names"))
+  }
+
   test("plans as an equi-join, not a nested-loop cross product") {
     import spark.implicits._
     val points = (0L to 100L).map(i => (i, i)).toDF("pid", "t")
