@@ -77,6 +77,18 @@ object HtmlLoader {
   case class Heading(level: Int, text: String)
   case class HtmlStructure(title: String, headings: Seq[Heading], lists: Int, tables: Int, paragraphs: Int)
 
+  /** String-input variant of the parse step for graded queries: runs
+    * the REAL [[htmlToText]] + [[extractStructure]] over an HTML string
+    * column, so payloads generated in-plan exercise the same extractor
+    * the binaryFile load path uses. Struct fields: _1 text, _2 title,
+    * _3 headings (level,text), _4 lists, _5 tables, _6 paragraphs.
+    */
+  val extract = udf { (html: String) =>
+    val text = htmlToText(html)
+    val st = extractStructure(html)
+    (text, st.title, st.headings.map(h => (h.level, h.text)), st.lists, st.tables, st.paragraphs)
+  }
+
   private val parseUdf = udf { (bytes: Array[Byte]) =>
     // O9 error isolation: any parse failure → null, filtered downstream
     try {

@@ -14,9 +14,25 @@ class CfbReaderSpec extends SparkTestBase {
   test("CfbReader enumerates streams with full paths through storages") {
     val cfb = buildHwpCfb("한글 씨에프비 컨테이너 본문", compressed = true)
     val streams = CfbReader.streams(cfb)
-    assert(streams.keySet == Set("FileHeader", "BodyText/Section0"))
+    assert(streams.keySet ==
+      Set("FileHeader", "BodyText/Section0", "\u0005HwpSummaryInformation"))
     assert(streams("FileHeader").length == 256)
     assert(new String(streams("FileHeader").take(17), "US-ASCII") == "HWP Document File")
+  }
+
+  test("multi-section container with summary: extractHwpDoc full round-trip") {
+    val cfb = HwpPayloads.buildHwpCfb(
+      Seq("첫 섹션 본문", "second section body"),
+      compressed = true, title = "문서 제목", author = "홍길동")
+    val (text, title, author, subject, keywords) = HwpLoader.extractHwpDoc(cfb)
+    assert(text == "첫 섹션 본문\nsecond section body")
+    assert(title == "문서 제목" && author == "홍길동")
+    assert(subject == null && keywords == null)
+  }
+
+  test("sectionless container → null text (S8 failed-doc contract)") {
+    val cfb = HwpPayloads.buildHwpCfb(Seq.empty, compressed = true, title = "빈 문서", author = "x")
+    assert(HwpLoader.extractHwp(cfb) == null)
   }
 
   test("extractHwp: compressed sections inflate and decode") {
