@@ -1360,6 +1360,43 @@ object QueryCatalog {
            FROM embeddings, q WHERE label = 3)
        SELECT vec_id, label, score FROM scored ORDER BY score DESC, vec_id LIMIT 10"""
 
+  /** Q7 — RAG prompt assembly, driver-graded (search_utils.py:101-136):
+    * a deterministic top-5 retrieval (longest documents, doc_id
+    * tie-break, 80-char snippets) through the REAL
+    * [[graft.search.SearchFacade.ragPrompt]] — numbered 문서-i context
+    * block joined with blank lines, system preamble, user query. The
+    * oracle reassembles the exact prompt with string_agg over the same
+    * top-5 CTE. The k-row collect inside ragPrompt is the operator's
+    * correct altitude (k ≤ 10), not a driver-side loop over data.
+    */
+  val qRagPrompt: Q = (s, dir) => {
+    import s.implicits._
+    val top = tbl(s, dir, "documents")
+      .select(substring(col("text"), 1, 80).as("text"), col("n_chars"), col("doc_id"))
+      .orderBy(desc("n_chars"), col("doc_id"))
+      .limit(5)
+    graft.search.SearchFacade
+      .ragPrompt(top, "분산 처리 엔진이란?")
+      .zipWithIndex
+      .map { case ((role, content), i) => (i + 1, role, content) }
+      .toDF("idx", "role", "content")
+  }
+
+  val qRagPromptSql: String =
+    """WITH top AS (
+         SELECT substring(text, 1, 80) AS t,
+                row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+         FROM documents QUALIFY rn <= 5),
+       ctx AS (
+         SELECT string_agg('문서 ' || rn || ': ' || t, chr(10) || chr(10) ORDER BY rn) AS c
+         FROM top)
+       SELECT CAST(1 AS INT) AS idx, 'system' AS role,
+              '다음 문서들을 참고하여 질문에 답변해 주세요.' || chr(10) || chr(10) || c AS content
+       FROM ctx
+       UNION ALL
+       SELECT CAST(2 AS INT), 'user', '분산 처리 엔진이란?'
+       ORDER BY idx"""
+
   /** Q4 — multi-collection fan-out: per-label top-3, tag, merge,
     * global top-5 by similarity.
     */
@@ -2029,6 +2066,37 @@ object QueryCatalog {
               '한글 본문 ' || doc_id || ' alpha ' || (doc_id*7) || ' 끝' || chr(10) ||
               '둘째 ' || (doc_id*3) AS text
        FROM documents WHERE doc_id % 37 <> 0 ORDER BY doc_id"""
+
+  /** Streaming backfill parity, driver-graded: the BATCH execution of
+    * the cross-micro-batch keep-first contract
+    * ([[graft.streaming.StreamingDedup.keepFirstAcrossBatches]], the
+    * flatMapGroupsWithState operator the streaming ingest runs). The
+    * streaming suites pin batch ≡ stream on MemoryStream; this row
+    * grades the batch shape against DuckDB — events keyed into 997
+    * simulated re-crawl groups, keep-first = lexicographic-min
+    * chunk_id (zero-padded so string order is numeric order). Green
+    * means a batch backfill and the live stream share dedup semantics.
+    */
+  val qStreamBackfill: Q = (s, dir) => {
+    import s.implicits._
+    val ev = tbl(s, dir, "events")
+      .select(
+        concat(lit("k"), lpad(pmod(col("event_id"), lit(997)).cast("string"), 6, "0"))
+          .as("content_hash"),
+        lpad(col("event_id").cast("string"), 10, "0").as("chunk_id"),
+        concat(lit("payload "), col("event_id")).as("text"))
+      .as[graft.streaming.DedupEvent]
+    graft.streaming.StreamingDedup
+      .keepFirstAcrossBatches(ev)
+      .toDF()
+      .select("content_hash", "chunk_id", "text")
+  }
+
+  val qStreamBackfillSql: String =
+    """SELECT 'k' || lpad(CAST(event_id % 997 AS VARCHAR), 6, '0') AS content_hash,
+              lpad(CAST(min(event_id) AS VARCHAR), 10, '0') AS chunk_id,
+              'payload ' || min(event_id) AS text
+       FROM events GROUP BY 1 ORDER BY 1"""
 
   // ---------------------------------------------------------------
   // End-to-end pipeline (flagship spine; rows-only)
@@ -2871,6 +2939,8 @@ object QueryCatalog {
     "q_html_load" -> qHtmlLoad,
     "q_hwpx_extract" -> qHwpxExtract,
     "q_hwp_extract" -> qHwpExtract,
+    "q_rag_prompt" -> qRagPrompt,
+    "q_stream_backfill" -> qStreamBackfill,
     "q_pipeline_e2e" -> qPipelineE2E
   )
 
@@ -2948,6 +3018,8 @@ object QueryCatalog {
     "q_html_load" -> qHtmlLoadSql,
     "q_hwpx_extract" -> qHwpxExtractSql,
     "q_hwp_extract" -> qHwpExtractSql,
+    "q_rag_prompt" -> qRagPromptSql,
+    "q_stream_backfill" -> qStreamBackfillSql,
     "q_pipeline_e2e" -> qPipelineE2ESql
   )
 }

@@ -53,6 +53,48 @@ class RegexChainSpec extends SparkTestBase {
     assert(df.collect().forall(_.getString(0).nonEmpty))
   }
 
+  test("fast char-class stages ≡ Matcher.replaceAll, exhaustively over the BMP") {
+    // every battery stage of a fast-eligible shape, applied to every
+    // single-char BMP string, must agree with the regex engine — this is
+    // the per-code-point contract the probe-built tables rely on
+    val fastShaped = TextCleaner.BatteryStages.filter { case (p, r) =>
+      !r.contains("$") && !r.contains("\\") &&
+        p.matches("""^(\(\?U\))?\[([^\]\\]|\\.)+\](\+|\\s\*)?$""")
+    }
+    assert(fastShaped.size >= 9, s"expected the profiled hot stages to be fast-shaped, got ${fastShaped.size}")
+    fastShaped.foreach { case (p, r) =>
+      val stage = RegexChain.compileStage(p, r)
+      val pat = java.util.regex.Pattern.compile(p)
+      var cp = 0
+      while (cp < 0x10000) {
+        if (!Character.isSurrogate(cp.toChar)) {
+          val s = String.valueOf(cp.toChar)
+          val got = stage(s)
+          val want = pat.matcher(s).replaceAll(r)
+          assert(got == want, s"stage '$p' diverges on U+${cp.toHexString}: '$got' vs '$want'")
+        }
+        cp += 1
+      }
+    }
+  }
+
+  test("fast stages ≡ regex on run/boundary/supplementary adversarial strings") {
+    val adversarial = Seq(
+      "가나다", "가 나\t다", "  \t ", "a가b나c", "™™™", "a™ b", // runs + ws tails
+      "😀😀 mixed 😀", // emoji pairs (SMP)
+      "\uD800 lone surrogate", "페이지 끝 \n\n 다음", "", " ", "\n",
+      "ABC DEF 헥사 123 !@# ~`| ™†·"
+    )
+    TextCleaner.BatteryStages.foreach { case (p, r) =>
+      val stage = RegexChain.compileStage(p, r)
+      val pat = java.util.regex.Pattern.compile(p)
+      adversarial.foreach { s =>
+        assert(stage(s) == pat.matcher(s).replaceAll(r),
+          s"stage '$p' diverges on '${s.take(30)}'")
+      }
+    }
+  }
+
   test("null input stays null; cleanText coalesces to empty string") {
     import spark.implicits._
     val df = Seq[Option[String]](None, Some("x")).toDF("text")
