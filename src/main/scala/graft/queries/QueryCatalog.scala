@@ -356,12 +356,19 @@ object QueryCatalog {
       "alpha = beta & gamma 페이지'"
 
   // DuckDB (RE2) replication of the battery stages that act on the
-  // noisy corpus: C4 HTML, C5 templates, C8 header/footer/URL, C9
-  // special chars, C10 whitespace, C11 line trim + end trim. RE2 has
-  // no (?U), but after C1/C2 only ASCII + Hangul survive and Hangul is
-  // explicit in the C9 class, so ASCII \w is equivalent here.
+  // noisy corpus: C2 whitelist, C4 HTML, C5 templates, C8
+  // header/footer/URL, C9 special chars, C10 whitespace, C11 line trim
+  // + end trim. RE2 has no (?U), but after C1/C2 only ASCII + Hangul
+  // survive and Hangul is explicit in the C9 class, so ASCII \w is
+  // equivalent here. C2 reuses the EXACT Java pattern (plain char
+  // class, RE2-compatible; only divergence is \x0B in \s, absent from
+  // every corpus) — it is a no-op on the driver corpus but NOT on the
+  // ScaleUp sf1 corpus, whose per-replica `_rN` token suffixes carry
+  // underscores that C2 must space out in both engines.
   private def cleanSqlChain(input: String): String = {
-    val c4 = s"regexp_replace($input, '<[^>]+>', ' ', 'g')"
+    val c2Class = TextCleaner.AllowedCharsPattern.replace("'", "''")
+    val c2 = s"regexp_replace($input, '$c2Class', ' ', 'g')"
+    val c4 = s"regexp_replace($c2, '<[^>]+>', ' ', 'g')"
     val c5 = Seq(
       "(?i)\\{\\{#?/?[^}]+\\}\\}",
       "(?i)\\{%[^%]+%\\}",
@@ -1042,14 +1049,14 @@ object QueryCatalog {
            length(text) - length(regexp_replace(text, '[\p{L}]', '', 'g')) AS n_alpha
          FROM documents)
        SELECT doc_id, n_chars, n_tokens,
-         CASE WHEN n_tokens = 0 THEN 0.0 ELSE round(n_stop * 1.0 / n_tokens, 6) END AS stopword_ratio,
-         CASE WHEN n_chars = 0 THEN 0.0 ELSE round(n_punct * 1.0 / n_chars, 6) END AS punct_ratio,
-         CASE WHEN n_chars = 0 THEN 0.0 ELSE round(n_alpha * 1.0 / n_chars, 6) END AS alpha_ratio,
-         round((least(n_tokens / 100.0, 1.0)
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE floor(n_stop * 1.0 / n_tokens * 1e6 + 0.5) / 1e6 END AS stopword_ratio,
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE floor(n_punct * 1.0 / n_chars * 1e6 + 0.5) / 1e6 END AS punct_ratio,
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE floor(n_alpha * 1.0 / n_chars * 1e6 + 0.5) / 1e6 END AS alpha_ratio,
+         floor((least(n_tokens / 100.0, 1.0)
               + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop * 1.0 / n_tokens END) * 5.0, 1.0)
               + (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha * 1.0 / n_chars END)
               + (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0 ELSE (n_chars - n_tokens + 1) * 1.0 / n_tokens END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
-               ) / 4.0, 4) AS quality_score
+               ) / 4.0 * 1e4 + 0.5) / 1e4 AS quality_score
        FROM f ORDER BY doc_id"""
 
   /** Top-5 distinctive terms per document (raw-count-IDF TF-IDF; see

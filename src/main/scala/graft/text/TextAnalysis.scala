@@ -40,6 +40,18 @@ object TextAnalysis {
     "that", "for", "on", "with", "as", "was", "at", "by", "be", "this"
   )
 
+  /** Engine-agnostic half-up rounding: floor(x·10^k + 0.5)/10^k over
+    * the IEEE double. Spark's round() (BigDecimal HALF_UP over the
+    * binary value) and DuckDB's round() disagree on exact decimal ties
+    * (e.g. 0.49625 at 4 dp — ScaleUp sf1 corpus hits these), while
+    * floor arithmetic is bit-identical wherever both engines hold the
+    * same double.
+    */
+  private def roundHalfUp(c: Column, scale: Int): Column = {
+    val p = math.pow(10.0, scale)
+    floor(c * p + lit(0.5)).cast("double") / p
+  }
+
   def qualityFeatures(c: Column): Column = {
     val txt = coalesce(c, lit(""))
     val nChars = length(txt)
@@ -51,11 +63,11 @@ object TextAnalysis {
     struct(
       nChars.as("n_chars"),
       nToks.as("n_tokens"),
-      when(nToks === 0, 0.0).otherwise(round(stop.cast("double") / nToks, 6)).as("stopword_ratio"),
-      when(nChars === 0, 0.0).otherwise(round(punct.cast("double") / nChars, 6)).as("punct_ratio"),
-      when(nChars === 0, 0.0).otherwise(round(alpha.cast("double") / nChars, 6)).as("alpha_ratio"),
+      when(nToks === 0, 0.0).otherwise(roundHalfUp(stop.cast("double") / nToks, 6)).as("stopword_ratio"),
+      when(nChars === 0, 0.0).otherwise(roundHalfUp(punct.cast("double") / nChars, 6)).as("punct_ratio"),
+      when(nChars === 0, 0.0).otherwise(roundHalfUp(alpha.cast("double") / nChars, 6)).as("alpha_ratio"),
       when(nToks === 0, 0.0)
-        .otherwise(round((nChars - nToks + 1).cast("double") / nToks, 6))
+        .otherwise(roundHalfUp((nChars - nToks + 1).cast("double") / nToks, 6))
         .as("avg_word_len")
     )
   }
@@ -80,7 +92,7 @@ object TextAnalysis {
     val lenScore = least(nToks.cast("double") / 100.0, lit(1.0))
     val stopScore = least(stopRatio * 5.0, lit(1.0))
     val wlScore = when(avgWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
-    round((lenScore + stopScore + alphaRatio + wlScore) / 4.0, 4)
+    roundHalfUp((lenScore + stopScore + alphaRatio + wlScore) / 4.0, 4)
   }
 
   /** All quality features plus the composite score in ONE tokenization
@@ -123,11 +135,11 @@ object TextAnalysis {
     counters
       .withColumn("n_chars", nChars)
       .withColumn("n_tokens", nToks)
-      .withColumn("stopword_ratio", when(nToks === 0, 0.0).otherwise(round(nStop.cast("double") / nToks, 6)))
-      .withColumn("punct_ratio", when(nChars === 0, 0.0).otherwise(round(col("__n_punct").cast("double") / nChars, 6)))
-      .withColumn("alpha_ratio", when(nChars === 0, 0.0).otherwise(round(col("__n_alpha").cast("double") / nChars, 6)))
-      .withColumn("avg_word_len", when(nToks === 0, 0.0).otherwise(round((nChars - nToks + 1).cast("double") / nToks, 6)))
-      .withColumn("quality_score", round((lenScore + stopScore + alphaRatioRaw + wlScore) / 4.0, 4))
+      .withColumn("stopword_ratio", when(nToks === 0, 0.0).otherwise(roundHalfUp(nStop.cast("double") / nToks, 6)))
+      .withColumn("punct_ratio", when(nChars === 0, 0.0).otherwise(roundHalfUp(col("__n_punct").cast("double") / nChars, 6)))
+      .withColumn("alpha_ratio", when(nChars === 0, 0.0).otherwise(roundHalfUp(col("__n_alpha").cast("double") / nChars, 6)))
+      .withColumn("avg_word_len", when(nToks === 0, 0.0).otherwise(roundHalfUp((nChars - nToks + 1).cast("double") / nToks, 6)))
+      .withColumn("quality_score", roundHalfUp((lenScore + stopScore + alphaRatioRaw + wlScore) / 4.0, 4))
       .drop("__toks", "__n_chars", "__n_punct", "__n_alpha", "__n_tokens", "__n_stop")
   }
 

@@ -35,6 +35,7 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val rep = args(2).toInt
+    require(rep <= 26, "suffix alphabet covers at most 26 replicas")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -90,8 +91,18 @@ object ScaleUp {
         .withColumn("doc_id", off("doc_id"))
         .withColumn(
           "text",
+          // Letters-only lowercase suffix ("vector" -> "vectorqb" in
+          // replica 1): keeps replica vocabularies disjoint while
+          // staying INERT through the cleaning battery. The earlier
+          // "_rN" scheme was not: C2 spaces the underscore out and the
+          // C3 letter-digit stage then eats the bare "rN" token, so
+          // clean-path oracles (whose RE2 chain cannot express C3's
+          // Hangul lookarounds) diverged from Spark at sf1.
           when(col("__rep") === 0, col("text"))
-            .otherwise(regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1_r"), col("__rep"))))
+            .otherwise(regexp_replace(
+              col("text"),
+              lit("(\\S+)"),
+              concat(lit("$1q"), expr("substr('abcdefghijklmnopqrstuvwxyz', cast(__rep AS INT) + 1, 1)"))))
         )
         .withColumn("n_chars", length(col("text")).cast("long"))
         .drop("__rep"),

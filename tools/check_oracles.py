@@ -3,9 +3,15 @@
 written by graft.Verify — approximates the driver's DuckDB compare
 (sort columns by name, sort rows, compare values exactly).
 
-Usage: python3 tools/check_oracles.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracles.py <verify_out_dir> <sf_dir> [skip_csv]
+
+skip_csv: optional comma-separated query names to skip — used by the
+sf1 sweep for the deliberately brute-force all-pairs oracles
+(exhaustive Jaccard / connected-components references), whose DuckDB
+cost is quadratic in corpus size by design and infeasible at 50k docs.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -16,23 +22,34 @@ TABLES = [
 ]
 
 
-def main(out_dir: str, sf_dir: str) -> int:
+def main(out_dir: str, sf_dir: str, skip_csv: str = "") -> int:
+    skip = set(filter(None, skip_csv.split(",")))
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata ships single files; ScaleUp corpora are
+        # Spark-written directories of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        try:
-            exp = con.sql(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
+        if name in skip:
+            print(f"SKIP {name}")
             continue
+        # read the Spark output FIRST: a restricted Verify run leaves
+        # most outputs missing, and the oracle side can be expensive
         try:
             got = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            n_fail += 1
+            continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         exp = exp.reindex(sorted(exp.columns), axis=1)
@@ -66,4 +83,4 @@ def main(out_dir: str, sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else ""))
