@@ -1259,14 +1259,22 @@ object QueryCatalog {
     * PiiScrub documents). Oracle replays the same lookaround-free
     * stages under RE2.
     */
-  val qPiiScrub: Q = (s, dir) =>
-    rebalanced(tbl(s, dir, "documents"))
+  val qPiiScrub: Q = (s, dir) => {
+    // partition-batched pattern-major execution (see PiiScrub.scrubBatched
+    // — per-row pattern interleaving stops scaling across executor
+    // threads); the fingerprint reads the materialized column
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val base = rebalanced(tbl(s, dir, "documents"))
       .select(
-        col("doc_id"),
-        graft.text.PiiScrub.scrub(concat(col("text"), lit(PiiNoiseSuffix))).as("scrubbed"),
-        TextAnalysis.fingerprintMd5(graft.text.PiiScrub.scrub(concat(col("text"), lit(PiiNoiseSuffix))))
-          .as("scrubbed_fingerprint")
-      )
+        col("doc_id").cast("long").as("doc_id"),
+        concat(col("text"), lit(PiiNoiseSuffix)).as("t"))
+      .as[(Long, String)](enc)
+    graft.text.PiiScrub
+      .scrubBatched(base)
+      .toDF("doc_id", "scrubbed")
+      .withColumn("scrubbed_fingerprint", TextAnalysis.fingerprintMd5(col("scrubbed")))
+  }
 
   val qPiiScrubSql: String = {
     val noisy = "(text || ' contact john.doe@example.com or +82 10-1234-5678 backup 010 1234 5678 ip 192.168.0.1 card 1234-5678-9012-3456 done')"

