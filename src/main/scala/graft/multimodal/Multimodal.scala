@@ -97,6 +97,46 @@ object Multimodal {
       */
     def sample(i: Int, seed: Int): Int = (i * 37 + seed * 101) % 65536 - 32768
 
+    // The same JDK provider instances AudioSystem would select — but
+    // resolved ONCE per JVM. AudioSystem.getAudioInputStream/write
+    // route every call through JDK13Services.getProviders, a STATIC
+    // SYNCHRONIZED global lock: at ~100k encode/decode calls across 32
+    // executor threads the lock serializes the whole stage. The spi
+    // providers themselves are stateless per call, so iterating a
+    // cached list is exactly AudioSystem's own loop minus the lock.
+    private lazy val fileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator().asScala.toList
+    }
+    private lazy val fileWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator().asScala.toList
+    }
+
+    /** AudioSystem.getAudioInputStream semantics (first provider that
+      * accepts the container wins) without the per-call global lock.
+      */
+    private def readAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      fileReaders.foreach { r =>
+        try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no provider could read the stream")
+    }
+
+    private def writeWave(
+        ais: javax.sound.sampled.AudioInputStream,
+        out: java.io.OutputStream): Unit = {
+      val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      fileWriters.find(_.isFileTypeSupported(t, ais)) match {
+        case Some(w) => w.write(ais, t, out): Unit
+        case None => throw new IllegalStateException("no WAVE writer provider")
+      }
+    }
+
     def encodeWav(nSamples: Int, sampleRate: Int, seed: Int): Array[Byte] = {
       val data = new Array[Byte](nSamples * 2)
       var i = 0
@@ -111,8 +151,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      writeWave(ais, out)
       out.toByteArray
     }
 
@@ -126,8 +165,7 @@ object Multimodal {
         durationMs: Long, meanAbs: Double, peak: Int)
 
     def decodeStats(bytes: Array[Byte]): AudioStats = {
-      val ais = javax.sound.sampled.AudioSystem
-        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val ais = readAudio(bytes)
       val fmt = ais.getFormat
       // endianness is part of the contract: getAudioInputStream also
       // parses AIFF/AU (big-endian PCM), which the manual LE decode
