@@ -26,11 +26,17 @@ object HwpPayloads {
   private val FatSect = 0xfffffffd
 
   def deflateRaw(data: Array[Byte]): Array[Byte] = {
-    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
-    d.setInput(data); d.finish()
-    val buf = new Array[Byte](1 << 16)
-    val n = d.deflate(buf)
-    buf.take(n)
+    // BEST_SPEED: payload generation, not archival — the decode side
+    // (HwpLoader.inflateRaw) is level-agnostic. end() releases the
+    // native zlib state eagerly; leaking it to the finalizer at 50k
+    // containers per bench run pressures native memory.
+    val d = new Deflater(Deflater.BEST_SPEED, true)
+    try {
+      d.setInput(data); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      val n = d.deflate(buf)
+      buf.take(n)
+    } finally d.end()
   }
 
   /** MS-OLEPS PropertySetStream carrying title (pid 2) and author
@@ -196,6 +202,7 @@ object HwpPayloads {
   def buildHwpxZip(sectionXmls: Seq[String], metaXml: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val zos = new ZipOutputStream(bos)
+    zos.setLevel(Deflater.BEST_SPEED) // generation-side; readers are level-agnostic
     def put(name: String, data: Array[Byte]): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(data)
