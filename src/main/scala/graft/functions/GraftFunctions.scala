@@ -47,8 +47,14 @@ object GraftFunctions {
     // The UDAF rides the same builder table: GraftBridge.aggregatorBuilder
     // plants the ScalaAggregator expression spark.udf.register would, so
     // the extensions path and registerAll expose an identical surface.
-    "vector_mean" -> GraftBridge.aggregatorBuilder(
-      org.apache.spark.sql.functions.udaf(VectorMeanAggregator))
+    "vector_mean" -> {
+      val b = GraftBridge.aggregatorBuilder(
+        org.apache.spark.sql.functions.udaf(VectorMeanAggregator))
+      exprs => {
+        require(exprs.length == 1, s"vector_mean expects 1 argument, got ${exprs.length}")
+        b(exprs)
+      }
+    }
   )
 
   /** Names of every SQL function the surface registers. */
