@@ -1639,8 +1639,8 @@ object QueryCatalog {
   /** Multimodal plumbing over driver tables: document text cast to a
     * binary payload column, then the batched media metadata + feature
     * extraction stages — the full opaque-binary path exercised on real
-    * testdata. Oracled: the fake codec hashes with MD5 (see
-    * Multimodal.FakeCodec), so the DuckDB oracle reconstructs every
+    * testdata. Oracled: the featurizer hashes with MD5 (see
+    * Multimodal.HashFeaturizer), so the DuckDB oracle reconstructs every
     * 32-dim feature vector from the payload bytes. The array itself is
     * emitted as scalars (the harness can't sort raw arrays): md5 over
     * the 1e4-scaled INTEGER components — integer encoding on both
@@ -1793,6 +1793,71 @@ object QueryCatalog {
               CAST(n AS BIGINT) * 1000 // 8000 AS duration_ms,
               round(sa / (n * 1.0), 4) AS mean_abs,
               CAST(pk AS INT) AS peak
+       FROM sums ORDER BY doc_id"""
+
+  /** REAL video decode end-to-end (the last codec to go real — VERDICT
+    * r8 #1): generate a genuine MJPEG-in-AVI clip per document
+    * (VideoCodec.encodeAviMjpeg — a RIFF container of real javax.imageio
+    * JPEG frames), decode it back frame by frame, and emit container
+    * format plus pixel stats. Frames are constant within each aligned
+    * 8x8 block, which survives JPEG's DCT bit-exactly (flat blocks, DC
+    * only; pinned exhaustively in VideoCodecSpec), so the oracle
+    * recomputes every stat ARITHMETICALLY from the blockValue closed
+    * form — green proves real JPEG frames came out of a real AVI
+    * container with the right pixels in the right frames. Mean level =
+    * one IEEE division of an exact integer sum; fps drawn from
+    * {8,10,20,25} so the avih microseconds-per-frame field is exact.
+    */
+  val qVideoFeatures: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val dims = rebalanced(tbl(s, dir, "documents").select(col("doc_id")))
+      .withColumn("wb", (lit(2) + pmod(col("doc_id"), lit(3))).cast("int"))
+      .withColumn("hb", (lit(2) + pmod(col("doc_id") * 5, lit(3))).cast("int"))
+      .withColumn("nf", (lit(3) + pmod(col("doc_id"), lit(6))).cast("int"))
+      .withColumn("fps_in", // decode re-derives `fps` from the container
+        element_at(array(lit(8), lit(10), lit(20), lit(25)),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+      .withColumn("seed", pmod(col("doc_id"), lit(1000)).cast("int"))
+    val avi = Multimodal.withEncodedAvi(dims, "wb", "hb", "nf", "fps_in", "seed")
+    Multimodal.withVideoStats(avi, "avi")
+      .select(
+        col("doc_id"),
+        col("vid_width"),
+        col("vid_height"),
+        col("n_frames"),
+        col("fps"),
+        col("duration_ms"),
+        round(col("mean_level"), 4).as("mean_level"),
+        col("peak_level")
+      )
+  }
+
+  val qVideoFeaturesSql: String =
+    """WITH dims AS (
+         SELECT doc_id,
+                CAST(2 + doc_id % 3 AS INT) AS wb,
+                CAST(2 + (doc_id * 5) % 3 AS INT) AS hb,
+                CAST(3 + doc_id % 6 AS INT) AS nf,
+                CAST([8, 10, 20, 25][CAST(doc_id % 4 AS INT) + 1] AS INT) AS fps,
+                CAST(doc_id % 1000 AS INT) AS seed
+         FROM documents),
+       fr AS (SELECT doc_id, wb, hb, nf, fps, seed, unnest(range(0, nf)) AS f FROM dims),
+       frx AS (SELECT doc_id, wb, hb, nf, fps, seed, f, unnest(range(0, wb)) AS bx FROM fr),
+       frxy AS (SELECT doc_id, wb, hb, nf, fps, seed, f, bx, unnest(range(0, hb)) AS by FROM frx),
+       sums AS (
+         SELECT doc_id, any_value(wb) AS wb, any_value(hb) AS hb,
+                any_value(nf) AS nf, any_value(fps) AS fps,
+                sum((bx * 53 + by * 101 + f * 29 + seed * 13) % 256) AS s,
+                max((bx * 53 + by * 101 + f * 29 + seed * 13) % 256) AS pk
+         FROM frxy GROUP BY doc_id)
+       SELECT doc_id,
+              CAST(wb * 8 AS INT) AS vid_width,
+              CAST(hb * 8 AS INT) AS vid_height,
+              CAST(nf AS INT) AS n_frames,
+              CAST(fps AS INT) AS fps,
+              CAST(nf AS BIGINT) * 1000 // fps AS duration_ms,
+              round(s / (nf * wb * hb * 1.0), 4) AS mean_level,
+              CAST(pk AS INT) AS peak_level
        FROM sums ORDER BY doc_id"""
 
   /** REAL HTML extraction end-to-end (S1/S2/C13, html_loader.py:38-113
@@ -2950,6 +3015,7 @@ object QueryCatalog {
     "q_media_features" -> qMediaFeatures,
     "q_image_features" -> qImageFeatures,
     "q_audio_features" -> qAudioFeatures,
+    "q_video_features" -> qVideoFeatures,
     "q_html_extract" -> qHtmlExtract,
     "q_html_load" -> qHtmlLoad,
     "q_hwpx_extract" -> qHwpxExtract,
@@ -3029,6 +3095,7 @@ object QueryCatalog {
     "q_media_features" -> qMediaFeaturesSql,
     "q_image_features" -> qImageFeaturesSql,
     "q_audio_features" -> qAudioFeaturesSql,
+    "q_video_features" -> qVideoFeaturesSql,
     "q_html_extract" -> qHtmlExtractSql,
     "q_html_load" -> qHtmlLoadSql,
     "q_hwpx_extract" -> qHwpxExtractSql,

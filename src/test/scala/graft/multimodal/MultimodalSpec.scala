@@ -16,17 +16,30 @@ class MultimodalSpec extends SparkTestBase {
     ).toDF("media_id", "payload")
   }
 
-  test("media metadata attaches typed struct; deterministic fake decode") {
+  test("media metadata attaches typed struct; unknown payloads carried as opaque bin") {
     val out = Multimodal.withMediaMeta(mediaDf, "payload", "image")
     val rows = out.collect()
     assert(rows.length == 3)
     val meta = rows.head.getStruct(2)
     assert(meta.getAs[String]("media_type") == "image")
     assert(meta.getAs[Long]("size_bytes") == 2048L)
-    assert(meta.getAs[Int]("width") >= 256 && meta.getAs[Int]("height") >= 256)
-    // determinism: same bytes → same dims
-    val again = Multimodal.withMediaMeta(mediaDf, "payload", "image").collect().head.getStruct(2)
-    assert(again == meta)
+    // raw fill bytes are no known container: sniffed as opaque bin, null dims
+    assert(meta.getAs[String]("format") == "bin")
+    assert(meta.isNullAt(meta.fieldIndex("width")) && meta.isNullAt(meta.fieldIndex("height")))
+  }
+
+  test("MediaSniffer: real containers are identified from their actual headers") {
+    import Multimodal.MediaSniffer
+    val png = MediaSniffer.sniff(Multimodal.ImageCodec.encodePng(12, 9, 3))
+    assert(png == MediaSniffer.Sniffed("png", Some(12), Some(9), None))
+    val wav = MediaSniffer.sniff(Multimodal.AudioCodec.encodeWav(800, 8000, 5))
+    assert(wav.format == "wav" && wav.durationMs.contains(100L)) // 800·2 bytes / 16000 B/s
+    val avi = MediaSniffer.sniff(VideoCodec.encodeAviMjpeg(3, 2, 4, 10, 7))
+    assert(avi == MediaSniffer.Sniffed("avi", Some(24), Some(16), Some(400L)))
+    // a bare JPEG frame: SOF dims read by the marker walk
+    val jpg = MediaSniffer.sniff(VideoCodec.encodeJpegFrame(3, 2, 0, 7))
+    assert(jpg == MediaSniffer.Sniffed("jpeg", Some(24), Some(16), None))
+    assert(MediaSniffer.sniff("not media".getBytes).format == "bin")
   }
 
   test("feature extraction: unit-norm vectors, batched, ANN-composable") {
@@ -89,10 +102,10 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
-  test("frame sampling stub is deterministic and bounded") {
-    assert(Multimodal.FakeCodec.sampleFrameOffsets(10000, 4) == Seq(0L, 2500L, 5000L, 7500L))
-    assert(Multimodal.FakeCodec.sampleFrameOffsets(0, 4).isEmpty)
-    assert(Multimodal.FakeCodec.sampleFrameOffsets(10000, 0).isEmpty)
+  test("frame sampling offsets are deterministic and bounded") {
+    assert(VideoCodec.sampleFrameOffsets(10000, 4) == Seq(0L, 2500L, 5000L, 7500L))
+    assert(VideoCodec.sampleFrameOffsets(0, 4).isEmpty)
+    assert(VideoCodec.sampleFrameOffsets(10000, 0).isEmpty)
   }
 
   test("AudioCodec: WAV encode→javax.sound decode roundtrip matches the closed-form samples") {
