@@ -70,6 +70,20 @@ object GraftFunctions {
   def unregisterAll(spark: SparkSession): Unit =
     names.foreach(GraftBridge.dropFunction(spark, _))
 
+  /** Register the surface, run `body`, then drop ONLY the names that
+    * were absent beforehand. On a session built with
+    * `spark.sql.extensions=GraftExtensions` every name pre-exists, so
+    * the cleanup is a no-op and the live session keeps its functions —
+    * an unconditional [[unregisterAll]] there would permanently strip
+    * the deployed surface (and race any concurrent catalog query).
+    */
+  def withRegistered[T](spark: SparkSession)(body: => T): T = {
+    val preExisting = names.filter(spark.catalog.functionExists).toSet
+    registerAll(spark)
+    try body
+    finally names.filterNot(preExisting).foreach(GraftBridge.dropFunction(spark, _))
+  }
+
   private[functions] def inject(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, builder) =>
       ext.injectFunction(

@@ -103,15 +103,21 @@ object Multimodal {
     // executor threads the lock serializes the whole stage. The spi
     // providers themselves are stateless per call, so iterating a
     // cached list is exactly AudioSystem's own loop minus the lock.
+    // Resolved against the SPI class's own classloader (not the
+    // thread-context one) so the provider set is stable regardless of
+    // which executor thread touches it first. AudioSystem's
+    // properties-file provider-ordering (JDK13Services) is intentionally
+    // NOT replicated: these are the JDK built-in providers with distinct
+    // container magics, so ordering cannot change which one accepts.
     private lazy val fileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
       import scala.jdk.CollectionConverters._
-      java.util.ServiceLoader
-        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator().asScala.toList
+      val cls = classOf[javax.sound.sampled.spi.AudioFileReader]
+      java.util.ServiceLoader.load(cls, cls.getClassLoader).iterator().asScala.toList
     }
     private lazy val fileWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
       import scala.jdk.CollectionConverters._
-      java.util.ServiceLoader
-        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator().asScala.toList
+      val cls = classOf[javax.sound.sampled.spi.AudioFileWriter]
+      java.util.ServiceLoader.load(cls, cls.getClassLoader).iterator().asScala.toList
     }
 
     /** AudioSystem.getAudioInputStream semantics (first provider that

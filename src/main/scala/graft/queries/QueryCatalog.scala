@@ -2018,18 +2018,27 @@ object QueryCatalog {
               'english' AS language
        FROM h ORDER BY doc_id"""
 
-  /** One HTML source tree per sf dir per JVM (load-side work, like the
-    * bucketed tables): files are generated from the EXECUTORS in
-    * parallel — on a real cluster this is a distributed-FS write, not
-    * a driver loop. A stale tree from a previous JVM is deleted first.
+  /** One HTML source tree per sf dir per JVM — LOCAL-MODE BENCH
+    * SCAFFOLDING: files are generated from the executors in parallel
+    * and then scanned back from the same root, which only co-locates
+    * because local mode runs executors on this host. The operator
+    * under test (HtmlLoader.load) takes any directory; on a real
+    * cluster point `graft.html.src.root` (system property) at a shared
+    * filesystem and the same code path works unchanged. A stale tree
+    * from a previous JVM is deleted first. ConcurrentHashMap
+    * .computeIfAbsent (not TrieMap.getOrElseUpdate, which may run a
+    * racing generator twice) keeps the delete+write builder atomic per
+    * dir: a second caller blocks instead of deleting the tree under a
+    * first caller's in-flight scan.
     */
-  private val htmlDirCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val htmlDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]
 
   private def htmlSourceDirFor(s: SparkSession, dir: String): String =
-    htmlDirCache.getOrElseUpdate(
-      dir, {
+    htmlDirCache.computeIfAbsent(
+      dir, { _ =>
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val root = s"/tmp/graft_html_src$tag"
+        val base = System.getProperty("graft.html.src.root", "/tmp")
+        val root = s"$base/graft_html_src$tag"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
         tbl(s, dir, "documents")
           .select(col("doc_id").cast("long"))
@@ -2763,22 +2772,23 @@ object QueryCatalog {
   val qSqlSurface: Q = (s, dir) => {
     // Scope the session-state mutation like qIvfRewrite does: register,
     // plan the statement, then restore the registry and drop the view so
-    // later catalog queries run against an unaltered session. The returned
-    // DataFrame's analyzed plan already holds the resolved expressions and
-    // the view's child plan, so execution after cleanup is unaffected.
-    graft.functions.GraftFunctions.registerAll(s)
-    try {
-      tbl(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings_sql")
-      val out =
-        s.sql("""SELECT vec_id, round(dot_product(embedding, embedding), 4) AS sq_norm
-                 FROM graft_embeddings_sql
-                 ORDER BY sq_norm DESC, vec_id
-                 LIMIT 20""")
-      out.queryExecution.analyzed // force resolution before the registry reverts
-      out
-    } finally {
-      graft.functions.GraftFunctions.unregisterAll(s)
-      s.catalog.dropTempView("graft_embeddings_sql")
+    // later catalog queries run against an unaltered session — but only
+    // drop names this call ADDED (withRegistered): on an
+    // extensions-deployed session the surface pre-exists and must
+    // survive. The returned DataFrame's analyzed plan already holds the
+    // resolved expressions and the view's child plan, so execution
+    // after cleanup is unaffected.
+    graft.functions.GraftFunctions.withRegistered(s) {
+      try {
+        tbl(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings_sql")
+        val out =
+          s.sql("""SELECT vec_id, round(dot_product(embedding, embedding), 4) AS sq_norm
+                   FROM graft_embeddings_sql
+                   ORDER BY sq_norm DESC, vec_id
+                   LIMIT 20""")
+        out.queryExecution.analyzed // force resolution before the registry reverts
+        out
+      } finally s.catalog.dropTempView("graft_embeddings_sql")
     }
   }
 

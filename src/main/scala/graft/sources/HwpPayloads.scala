@@ -33,9 +33,13 @@ object HwpPayloads {
     val d = new Deflater(Deflater.BEST_SPEED, true)
     try {
       d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length.max(64))
       val buf = new Array[Byte](1 << 16)
-      val n = d.deflate(buf)
-      buf.take(n)
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+      }
+      out.toByteArray
     } finally d.end()
   }
 

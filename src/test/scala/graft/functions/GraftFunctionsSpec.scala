@@ -100,4 +100,23 @@ class GraftFunctionsSpec extends SparkTestBase {
       GraftFunctions.unregisterAll(spark)
     }
   }
+
+  test("withRegistered leaves pre-existing functions registered (extensions deployment)") {
+    GraftFunctions.unregisterAll(spark)
+    try {
+      // simulate the extensions-deployed session: surface already live
+      GraftFunctions.registerAll(spark)
+      GraftFunctions.withRegistered(spark) {
+        assert(spark.sql("SELECT dot_product(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
+          .head().getDouble(0) == 2.0)
+      }
+      // the scoped call must NOT have stripped the deployed surface
+      assert(GraftFunctions.names.forall(spark.catalog.functionExists))
+
+      // fresh-session shape: nothing pre-exists → everything is cleaned up
+      GraftFunctions.unregisterAll(spark)
+      GraftFunctions.withRegistered(spark)(())
+      assert(!GraftFunctions.names.exists(spark.catalog.functionExists))
+    } finally GraftFunctions.unregisterAll(spark)
+  }
 }
