@@ -1968,9 +1968,12 @@ object QueryCatalog {
     * folder/filename/file_type, file_size from the scan's length
     * column, the cleaning battery, content language detect, and the
     * S8 min-chars filter (doc_id%29==0 files carry a near-empty body
-    * and must be dropped). The oracle rebuilds the exact bytes
-    * written, so file_size and the cleaned text both replay
-    * closed-form.
+    * and must be dropped; doc_id%41==0 files are CORRUPT control-byte
+    * garbage the extractor must survive without throwing — O9). The
+    * oracle rebuilds the exact bytes written, so file_size and the
+    * cleaned text both replay closed-form, and it excludes the
+    * corrupt ids: a thrown exception or a leaked garbage row both
+    * break the match.
     */
   val qHtmlLoad: Q = (s, dir) => {
     val root = htmlSourceDirFor(s, dir)
@@ -1992,7 +1995,7 @@ object QueryCatalog {
   }
 
   val qHtmlLoadSql: String =
-    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0),
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0 AND doc_id % 41 <> 0),
        h AS (
          SELECT doc_id,
                 '<html><head><title>Title ' || doc_id ||
@@ -2046,17 +2049,22 @@ object QueryCatalog {
           .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
             it.foreach { r =>
               val id = r.getLong(0)
-              // doc_id%29==0 → near-empty body: S8 must drop it
-              val html =
-                if (id % 29 == 0)
+              // doc_id%41==0 → CORRUPT file (O9): fixed control-byte
+              // garbage, no markup. The extractor must not throw; the
+              // battery cleans it to empty and S8 drops the row.
+              // doc_id%29==0 → near-empty body: S8 must drop it too.
+              val bytes: Array[Byte] =
+                if (id % 41 == 0) Array.tabulate[Byte](64)(i => ((i % 8) + 1).toByte)
+                else if (id % 29 == 0)
                   "<html><head><title></title></head><body><p>.</p></body></html>"
+                    .getBytes("UTF-8")
                 else
-                  s"<html><head><title>Title $id</title></head><body><h1>Heading $id" +
+                  (s"<html><head><title>Title $id</title></head><body><h1>Heading $id" +
                     s"</h1><p>Paragraph body $id alpha ${id * 31} omega ${id * 17}" +
-                    "</p></body></html>"
+                    "</p></body></html>").getBytes("UTF-8")
               val p = java.nio.file.Paths.get(root, s"folder${id % 5}", s"doc_$id.html")
               java.nio.file.Files.createDirectories(p.getParent)
-              java.nio.file.Files.write(p, html.getBytes("UTF-8"))
+              java.nio.file.Files.write(p, bytes)
             }
           }
         root
@@ -2069,8 +2077,10 @@ object QueryCatalog {
     * decoy entries the reader must skip), run the REAL
     * [[graft.sources.HwpLoader.extractHwpx]], and have the oracle
     * recompute the XML-stripped text closed-form. doc_id%31==0 rows
-    * get a sectionless container and must be dropped (S8/O9 null
-    * contract). Green proves a real zip+XML round-trip: entry
+    * get a sectionless container and must be dropped (S8 null
+    * contract); doc_id%41==0 rows get CORRUPT bytes (non-zip garbage /
+    * a PK signature over garbage fields) the reader must survive
+    * without throwing (O9). Green proves a real zip+XML round-trip: entry
     * filtering, section name ordering, tag strip, entity unescape,
     * tab/space collapse, and meta tag capture.
     */
@@ -2079,7 +2089,15 @@ object QueryCatalog {
     val gen = udf { (id: Long) =>
       val meta = s"""<?xml version="1.0"?><opf:metadata><dc:title>문서 $id</dc:title>""" +
         s"""<dc:creator>작성자 ${id % 7}</dc:creator></opf:metadata>"""
-      if (id % 31 == 0) HwpPayloads.buildHwpxZip(Seq.empty, meta)
+      // O9: corrupt containers the reader must survive without
+      // throwing — even ids: fixed non-zip garbage (no entries), odd
+      // ids: a PK local-header signature followed by garbage fields.
+      // Both deterministically yield null text → filtered.
+      if (id % 41 == 0) {
+        if (id % 2 == 0) Array.tabulate[Byte](96)(i => ((i * 7) % 251).toByte)
+        else Array[Byte](0x50, 0x4b, 0x03, 0x04) ++
+          Array.tabulate[Byte](64)(i => ((i * 11) % 250).toByte)
+      } else if (id % 31 == 0) HwpPayloads.buildHwpxZip(Seq.empty, meta)
       else {
         val s0 = s"""<?xml version="1.0" encoding="UTF-8"?><hs:sec><hp:p><hp:t>Alpha $id beta &amp; gamma ${id * 7}</hp:t></hp:p>""" +
           s"""<!-- note --><hp:p><hp:t>delta &lt;$id&gt;</hp:t></hp:p></hs:sec>"""
@@ -2108,7 +2126,7 @@ object QueryCatalog {
               ' Alpha ' || doc_id || ' beta & gamma ' || (doc_id*7) ||
               ' delta <' || doc_id || '> ' || chr(10) ||
               ' Omega ' || (doc_id*13) || ' ' AS text
-       FROM documents WHERE doc_id % 31 <> 0 ORDER BY doc_id"""
+       FROM documents WHERE doc_id % 31 <> 0 AND doc_id % 41 <> 0 ORDER BY doc_id"""
 
   /** REAL HWP v5 (CFB/OLE2) extraction end-to-end (S4+S5,
     * hwp_loader.py:126-239 + 358-371): build a spec-conformant CFB
@@ -2119,12 +2137,22 @@ object QueryCatalog {
     * [[graft.sources.HwpLoader.extractHwpDoc]]. The section text
     * carries U+2122 (outside the S5 whitelist → single space), so the
     * oracle's closed-form text also proves the codepoint whitelist.
-    * doc_id%37==0 rows get a sectionless container → dropped (S8).
+    * doc_id%37==0 rows get a sectionless container → dropped (S8);
+    * doc_id%41==0 rows get CORRUPT containers (truncated below the CFB
+    * header / flipped magic) that must yield null, not throw (O9).
     */
   val qHwpExtract: Q = (s, dir) => {
     import graft.sources.{HwpLoader, HwpPayloads}
     val gen = udf { (id: Long) =>
-      if (id % 37 == 0)
+      // O9: corrupt containers — even ids: a valid container truncated
+      // below the 512-byte CFB header (read must fail, not garbage-
+      // parse), odd ids: first magic byte flipped. Both → null text.
+      if (id % 41 == 0) {
+        val good = HwpPayloads.buildHwpCfb(
+          Seq(s"x $id"), compressed = true, title = "t", author = "a")
+        if (id % 2 == 0) good.take(137)
+        else { val b = good.clone(); b(0) = 0x42; b }
+      } else if (id % 37 == 0)
         HwpPayloads.buildHwpCfb(
           Seq.empty, compressed = true, title = s"제목 $id", author = s"필자 ${id % 5}")
       else
@@ -2154,7 +2182,7 @@ object QueryCatalog {
               '필자 ' || (doc_id % 5) AS author,
               '한글 본문 ' || doc_id || ' alpha ' || (doc_id*7) || ' 끝' || chr(10) ||
               '둘째 ' || (doc_id*3) AS text
-       FROM documents WHERE doc_id % 37 <> 0 ORDER BY doc_id"""
+       FROM documents WHERE doc_id % 37 <> 0 AND doc_id % 41 <> 0 ORDER BY doc_id"""
 
   /** Streaming backfill parity, driver-graded: the BATCH execution of
     * the cross-micro-batch keep-first contract

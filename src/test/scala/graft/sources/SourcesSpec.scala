@@ -95,3 +95,34 @@ class SourcesSpec extends SparkTestBase {
     assert(r.getAs[String]("language") == "korean")
   }
 }
+
+class CorruptContainerSpec extends graft.SparkTestBase {
+  import graft.sources.{CfbReader, HwpLoader, HwpPayloads}
+
+  test("O9: the graded corruption shapes all yield null text, never throw") {
+    // HWP/CFB — truncated below the 512-byte header
+    val good = HwpPayloads.buildHwpCfb(Seq("x 1"), compressed = true, title = "t", author = "a")
+    assert(HwpLoader.extractHwpDoc(good.take(137))._1 == null)
+    // HWP/CFB — flipped magic byte
+    val badMagic = good.clone(); badMagic(0) = 0x42
+    assert(HwpLoader.extractHwpDoc(badMagic)._1 == null)
+    intercept[IllegalArgumentException](CfbReader.streams(badMagic)) // reader itself is strict
+
+    // HWPX — fixed non-zip garbage (no entries)
+    val garbage = Array.tabulate[Byte](96)(i => ((i * 7) % 251).toByte)
+    assert(HwpLoader.extractHwpx(garbage).text == null)
+    // HWPX — PK local-header signature over garbage fields
+    val pkGarbage = Array[Byte](0x50, 0x4b, 0x03, 0x04) ++
+      Array.tabulate[Byte](64)(i => ((i * 11) % 250).toByte)
+    assert(HwpLoader.extractHwpx(pkGarbage).text == null)
+
+    // HTML — control-byte garbage: parses without throwing, battery
+    // cleans to (near-)empty so the S8 min-chars filter drops it
+    import spark.implicits._
+    val ctl = new String(Array.tabulate[Byte](64)(i => ((i % 8) + 1).toByte), "UTF-8")
+    val cleaned = Seq(ctl).toDF("text")
+      .select(graft.clean.TextCleaner.cleanText(org.apache.spark.sql.functions.col("text")))
+      .head().getString(0)
+    assert(cleaned.trim.length < 10)
+  }
+}
