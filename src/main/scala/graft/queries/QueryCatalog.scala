@@ -1412,6 +1412,128 @@ object QueryCatalog {
        SELECT CAST(2 AS INT), 'user', '분산 처리 엔진이란?'
        ORDER BY idx"""
 
+  /** Q6 — the language-aware search façade, driver-graded
+    * (search_utils.py:36-98): three queries (Korean / English /
+    * Vietnamese) run through the REAL [[graft.search.SearchFacade
+    * .search]] — C15 query-language detection picks the filter, the
+    * filter applies PRE-k, the query embeds through the same
+    * HashEmbedder as the collection, exact cosine top-5. The corpus is
+    * given real language diversity first: doc_id%7==1 rows carry a
+    * deterministic Korean text, %7==2 Vietnamese (C14 content detect
+    * then routes them), and exact dedup keeps first so equal texts
+    * can't produce score ties at the k boundary. The oracle replays the
+    * text injection, the C14 CASE chain, the dedup QUALIFY, the MD5
+    * trigram embeddings, the C15 constants per query, and the filtered
+    * top-5 — a mis-detected query language would swap the filter and
+    * break every row of that query's block.
+    */
+  val qSearchFacade: Q = (s, dir) => {
+    import graft.search.SearchFacade
+    val embedder = new HashEmbedder(dim = 64)
+    val mod = pmod(col("doc_id"), lit(7))
+    val langText = when(mod === 1,
+        concat(lit("분산 데이터 처리 엔진 "), col("doc_id"), lit(" 번째 문서 내용 스파크 조인 집계")))
+      .when(mod === 2,
+        concat(lit("dữ liệu phân tán số "), col("doc_id"), lit(" truy vấn và xử lý nhanh")))
+      .otherwise(col("text"))
+    val base = rebalanced(tbl(s, dir, "documents"))
+      .select(col("doc_id"), langText.as("text"))
+    val dd = Dedup.exactDedup(base, "text", Seq("doc_id"))
+      .withColumn("language", LanguageDetect.detectContentLanguage(col("text")))
+    val coll = Embedders.withEmbedding(dd, "text", "embedding", embedder)
+    val queries = Seq(
+      ("ko", "분산 처리 엔진이란 무엇인가요"),
+      ("en", "spark join order table"),
+      ("vi", "dữ liệu phân tán và truy vấn"))
+    queries.map { case (tag, q) =>
+      SearchFacade.search(coll, q, embedder, k = 5)
+        .select(
+          lit(tag).as("query_tag"),
+          lit(SearchFacade.detectQueryLanguageScala(q)).as("query_lang"),
+          col("doc_id"),
+          col("language"),
+          round(col("score"), 4).as("score"))
+    }.reduce(_.unionByName(_))
+  }
+
+  val qSearchFacadeSql: String =
+    raw"""WITH injected AS (
+            SELECT doc_id, CASE
+              WHEN doc_id % 7 = 1 THEN '분산 데이터 처리 엔진 ' || doc_id || ' 번째 문서 내용 스파크 조인 집계'
+              WHEN doc_id % 7 = 2 THEN 'dữ liệu phân tán số ' || doc_id || ' truy vấn và xử lý nhanh'
+              ELSE text END AS text
+            FROM documents),
+          dd AS (
+            SELECT doc_id, text FROM injected
+            QUALIFY row_number() OVER (
+              PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+              ORDER BY doc_id) = 1),
+          lang AS (
+            SELECT doc_id, CASE
+              WHEN total = 0 THEN 'korean'
+              WHEN kr / total > 0.10 THEN 'korean'
+              WHEN vi / total > 0.02 THEN 'vietnamese'
+              WHEN en / total > 0.30 THEN 'english'
+              WHEN kr / total >= vi / total AND kr / total >= en / total THEN 'korean'
+              WHEN vi / total >= en / total THEN 'vietnamese'
+              ELSE 'english' END AS language
+            FROM (SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS total,
+                   CAST(length(text) - length(regexp_replace(text, '[가-힣]', '', 'g')) AS DOUBLE) AS kr,
+                   CAST(length(text) - length(regexp_replace(text, '[ăâđêôơưĂÂĐÊÔƠƯàáảãạèéẻẽẹìíỉĩịòóỏõọùúủũụỳýỷỹỵ]', '', 'g')) AS DOUBLE) AS vi,
+                   CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS en
+                 FROM dd)),
+          qs AS (
+            SELECT * FROM (VALUES
+              ('ko', '분산 처리 엔진이란 무엇인가요', 'korean', CAST(-1 AS BIGINT)),
+              ('en', 'spark join order table', 'english', CAST(-2 AS BIGINT)),
+              ('vi', 'dữ liệu phân tán và truy vấn', 'vietnamese', CAST(-3 AS BIGINT))
+            ) AS t(tag, qtext, qlang, qid)),
+          corpus_text AS (
+            SELECT doc_id, chr(2) || lower(text) || chr(3) AS s FROM dd
+            UNION ALL
+            SELECT qid, chr(2) || lower(qtext) || chr(3) FROM qs),
+          tri AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, length(s) - 1), i -> substring(s, CAST(i AS INT), 3))) AS g
+            FROM corpus_text),
+          sparse AS (
+            SELECT doc_id,
+                   CAST((('0x' || substring(md5(g), 1, 8))::UINTEGER) % 64 AS INT) AS idx,
+                   CAST(sum(CASE WHEN ('0x' || substring(md5(g), 1, 8))::UINTEGER < 2147483648 THEN 1 ELSE -1 END) AS DOUBLE) AS cnt
+            FROM tri GROUP BY 1, 2),
+          comps AS (
+            SELECT doc_id, idx,
+                   CAST(cnt * (1.0 / sqrt(sum(cnt * cnt) OVER (PARTITION BY doc_id))) AS FLOAT) AS val
+            FROM sparse),
+          vecs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 64), i ->
+                     CASE WHEN list_position(idxs, CAST(i AS INT)) > 0
+                          THEN vals[list_position(idxs, CAST(i AS INT))]
+                          ELSE 0.0::FLOAT END)::DOUBLE[] AS v
+            FROM (SELECT doc_id,
+                         list(idx ORDER BY idx) AS idxs,
+                         list(val ORDER BY idx) AS vals
+                  FROM comps GROUP BY doc_id)),
+          scored AS (
+            SELECT q.tag, q.qlang, d.doc_id, l.language,
+                   list_dot_product(c.v, qv.v)
+                     / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS raw
+            FROM dd d
+            JOIN vecs c ON c.doc_id = d.doc_id
+            JOIN lang l ON l.doc_id = d.doc_id
+            JOIN qs q ON l.language = q.qlang
+            JOIN vecs qv ON qv.doc_id = q.qid),
+          ranked AS (
+            SELECT tag, qlang, doc_id, language, raw,
+                   row_number() OVER (PARTITION BY tag ORDER BY raw DESC, doc_id) AS rn
+            FROM scored)
+          SELECT tag AS query_tag, qlang AS query_lang, doc_id, language,
+                 round(raw, 4) AS score
+          FROM ranked WHERE rn <= 5
+          ORDER BY tag, score DESC, doc_id"""
+
   /** Q4 — multi-collection fan-out: per-label top-3, tag, merge,
     * global top-5 by similarity.
     */
@@ -3059,6 +3181,7 @@ object QueryCatalog {
     "q_hwpx_extract" -> qHwpxExtract,
     "q_hwp_extract" -> qHwpExtract,
     "q_rag_prompt" -> qRagPrompt,
+    "q_search_facade" -> qSearchFacade,
     "q_stream_backfill" -> qStreamBackfill,
     "q_pipeline_e2e" -> qPipelineE2E
   )
@@ -3139,6 +3262,7 @@ object QueryCatalog {
     "q_hwpx_extract" -> qHwpxExtractSql,
     "q_hwp_extract" -> qHwpExtractSql,
     "q_rag_prompt" -> qRagPromptSql,
+    "q_search_facade" -> qSearchFacadeSql,
     "q_stream_backfill" -> qStreamBackfillSql,
     "q_pipeline_e2e" -> qPipelineE2ESql
   )
