@@ -1,0 +1,95 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-attribution probe for q_prefix_jaccard (VERDICT r8 #5): times
+  * the operator's internal phases separately so the shave targets the
+  * real cost, not a guess. Usage: runMain graft.tools.PrefixProbe <sfDir>
+  */
+object PrefixProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+    val d = spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 500)
+    d.cache().count()
+
+    // warm-up full run then attribute
+    time("full (warm-up)")(
+      Dedup.prefixJaccardPairs(d, "doc_id", "text", 0.8).agg(count(lit(1))).collect())
+    (1 to 3).foreach { i =>
+      time(s"full run $i")(
+        Dedup.prefixJaccardPairs(d, "doc_id", "text", 0.8).agg(count(lit(1))).collect())
+    }
+
+    // phase A: tokens + freq + per-doc rarity sort (docTokens)
+    val t = d.select(col("doc_id").as("id"),
+      array_distinct(split(lower(col("text")), "\\s+")).as("toks"))
+    val ex = t.select(col("id"), explode(col("toks")).as("token"))
+    time("A: freq agg only")(ex.groupBy("token").count().agg(count(lit(1))).collect())
+    val freq = ex.groupBy("token").count()
+    val docTokens = ex.join(freq, Seq("token")).groupBy("id")
+      .agg(sort_array(collect_list(struct(col("count"), col("token")))).as("ct"))
+      .select(col("id"), col("ct.token").as("sorted_toks"), size(col("ct")).as("sz"))
+    time("B: docTokens (A+join+sort)")(docTokens.agg(count(lit(1))).collect())
+    val prefixLen = ceil((lit(1.0) - 0.8) * col("sz")).cast("int") + 1
+    val prefix = docTokens.select(col("id"), col("sz"),
+      explode(slice(col("sorted_toks"), lit(1), prefixLen)).as("token"))
+    val a = prefix.select(col("token"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("token"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = a.join(b, Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("sz_a").cast("double") >= lit(0.8) * col("sz_b") &&
+        col("sz_b").cast("double") >= lit(0.8) * col("sz_a"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    time("C: candidates (B+selfjoin)")(candidates.agg(count(lit(1))).collect())
+    println(s"[probe] candidate count = ${candidates.count()}")
+
+    // variant 1: materialize docTokens once (it is consumed 3x in the
+    // current plan: prefix explode + both verify joins)
+    def variant(mat: Boolean, hint: Boolean, label: String): Unit = {
+      val dt0 = ex.join(if (hint) broadcast(freq) else freq, Seq("token")).groupBy("id")
+        .agg(sort_array(collect_list(struct(col("count"), col("token")))).as("ct"))
+        .select(col("id"), col("ct.token").as("sorted_toks"), size(col("ct")).as("sz"))
+      val dt = if (mat) dt0.localCheckpoint() else dt0
+      val pfx = dt.select(col("id"), col("sz"),
+        explode(slice(col("sorted_toks"), lit(1), prefixLen)).as("token"))
+      val aa = pfx.select(col("token"), col("id").as("id_a"), col("sz").as("sz_a"))
+      val bb = pfx.select(col("token"), col("id").as("id_b"), col("sz").as("sz_b"))
+      val cand = aa.join(if (hint) broadcast(bb) else bb, Seq("token"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("sz_a").cast("double") >= lit(0.8) * col("sz_b") &&
+          col("sz_b").cast("double") >= lit(0.8) * col("sz_a"))
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      val sets = dt.select(col("id"), col("sorted_toks"))
+      val setsA = sets.select(col("id").as("id_a"), col("sorted_toks").as("t_a"))
+      val setsB = sets.select(col("id").as("id_b"), col("sorted_toks").as("t_b"))
+      val out = cand
+        .join(if (hint) broadcast(setsA) else setsA, Seq("id_a"))
+        .join(if (hint) broadcast(setsB) else setsB, Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("t_a"), col("t_b"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("t_a")) + size(col("t_b")) - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.8)
+      (1 to 3).foreach(i => time(s"$label $i")(out.agg(count(lit(1))).collect()))
+    }
+    variant(mat = true, hint = false, "V1 localCheckpoint")
+    variant(mat = false, hint = true, "V2 broadcast hints")
+    variant(mat = true, hint = true, "V3 both")
+    spark.stop()
+  }
+}

@@ -25,16 +25,22 @@ import org.apache.spark.sql.functions._
   *    realistic shape for a fixed collection period) and `ts` is
   *    written as the same INT64 nanoseconds the source tables use.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <replicas>
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <replicas> [keyStride]
+  *
+  * `keyStride` (default 10^7) must exceed the source's max key. When
+  * CHAINING scale-ups (sf0.1 → sf1 → sf10) pass a larger stride for
+  * the second hop — sf1 ids already occupy [0, 9·10^7 + max), so the
+  * default stride would collide replica key ranges; 10^9 keeps them
+  * disjoint. Token suffixes compose per hop ("vector" → "vectorqb" →
+  * "vectorqbqc"), so chained replica vocabularies stay disjoint too.
   */
 object ScaleUp {
-
-  private val Stride = 10_000_000L
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val rep = args(2).toInt
+    val Stride = if (args.length > 3) args(3).toLong else 10_000_000L
     require(rep <= 26, "suffix alphabet covers at most 26 replicas")
     val spark = SparkSession.builder()
       .master("local[32]")
