@@ -497,10 +497,16 @@ object Dedup {
     val small = df.count() <= broadcastMaxDocs
     def maybeBroadcast(x: DataFrame): DataFrame = if (small) broadcast(x) else x
 
-    val t = df.select(
+    val t0 = df.select(
       col(idCol).as("id"),
       array_distinct(split(normalizedText(col(textCol)), " ")).as("toks")
     )
+    // Small slices also materialize the tokenization: `ex` feeds both
+    // the frequency aggregate and the join stream side, so without
+    // this the scan+normalize+split runs twice. Gated on `small`
+    // because the checkpoint stores corpus-sized token arrays — a big
+    // slice prefers the second streamed pass over doubling storage.
+    val t = if (small) t0.localCheckpoint() else t0
     // Global token frequencies define the rarity order. The order is
     // only ever consumed per-doc (sort_array below), so the frequency
     // table is NEVER globally ranked — a row_number() over an
