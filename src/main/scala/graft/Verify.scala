@@ -23,7 +23,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce folds the whole
+      // upstream pipeline into the single output task, so any map-only
+      // query (clean battery, PII scrub, language id ...) would run
+      // one-threaded over the full corpus — hours at sf10. The
+      // round-robin shuffle keeps computation parallel and only the
+      // final file write single-tasked; the driver compare sorts rows,
+      // so output order is immaterial.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -28,6 +28,15 @@ object Multimodal {
     *    the decode read real pixels.
     */
   object ImageCodec {
+    // ImageIO defaults to DISK-backed stream caches: every
+    // read(InputStream)/write(_, _, OutputStream) creates and deletes
+    // a temp file. Per-row decodes across 32 executor threads turn
+    // that into filesystem churn that grows with corpus size (measured
+    // at sf10: image/video feature extraction scaled ~3x worse than
+    // linear). All our payloads are in-memory byte arrays — cache in
+    // memory. JVM-wide static, set once at class-init.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Per-channel pixel formulas — mirrored verbatim in the
       * q_image_features oracle SQL. Int arithmetic, non-negative
       * operands, so `%` agrees across engines.

@@ -27,6 +27,14 @@ import java.nio.charset.StandardCharsets.US_ASCII
   */
 object VideoCodec {
 
+  // Same JVM-wide switch as ImageCodec (see the note there): without
+  // it every per-frame ImageIO encode/decode creates and deletes a
+  // DISK temp-file stream cache — at ~10 frames per clip that is an
+  // order of magnitude more temp files than the image path. Idempotent
+  // with ImageCodec's init; set here too because either object can be
+  // the first one loaded on an executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Gray level of the aligned 8x8 block (bx, by) of frame f — mirrored
     * verbatim in the q_video_features oracle SQL. Non-negative int
     * arithmetic so `%` agrees across engines; range [0, 255].

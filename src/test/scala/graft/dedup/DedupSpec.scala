@@ -265,4 +265,37 @@ class DedupSpec extends SparkTestBase {
     assert(prefix.map(x => (x._1, x._2)).toSet == Set((1L, 2L), (3L, 4L)))
     prefix.zip(exact).foreach { case (p, e) => assert(math.abs(p._3 - e._3) < 1e-12) }
   }
+
+  test("prefix jaccard: broadcast small-slice path ≡ shuffle big-slice path, plans pinned") {
+    import spark.implicits._
+    val docs = (1 to 30).map { i =>
+      // overlapping vocab so candidates exist across several pairs
+      val toks = (i to i + 40).map(j => s"w$j").mkString(" ")
+      (i.toLong, toks)
+    }
+    val df = docs.toDF("id", "text")
+
+    // Disable size-stat auto-broadcast for the plan assertions: on
+    // tiny checkpointed test data Catalyst broadcasts everything via
+    // statistics anyway (as AQE also would at runtime). What this test
+    // pins is the EXPLICIT gate — the hint the operator places, or
+    // withholds, independent of any threshold, which is what still
+    // fires when a 100k-doc slice's stats exceed 10 MB.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val smallDf = Dedup.prefixJaccardPairs(df, "id", "text", 0.8) // default gate: 30 <= 100k
+      val bigDf = Dedup.prefixJaccardPairs(df, "id", "text", 0.8, broadcastMaxDocs = 0L)
+
+      val smallPlan = smallDf.queryExecution.executedPlan.toString
+      val bigPlan = bigDf.queryExecution.executedPlan.toString
+      assert(smallPlan.contains("BroadcastHashJoin"), "small slice must broadcast the index/verify sides")
+      assert(!bigPlan.contains("BroadcastHashJoin"), "big slice must plan shuffle joins (open-vocab scale path)")
+
+      // the gate changes the PLAN, never the ANSWER
+      val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+      assert(smallDf.collect().map(key).sorted.toSeq == bigDf.collect().map(key).sorted.toSeq)
+    } finally spark.conf.set(thresholdKey, prev)
+  }
 }

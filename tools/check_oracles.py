@@ -22,9 +22,14 @@ TABLES = [
 ]
 
 
-def main(out_dir: str, sf_dir: str, skip_csv: str = "") -> int:
-    skip = set(filter(None, skip_csv.split(",")))
+def connect(sf_dir: str):
     con = duckdb.connect()
+    # spill instead of dying on big-corpus oracles; fresh connection
+    # per query (below) so one OOM cannot poison the rest of the sweep
+    # (observed at sf10: one exhausted pool made every later query fail
+    # on kilobyte allocations)
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET max_temp_directory_size='60GB'")
     for t in TABLES:
         # driver testdata ships single files; ScaleUp corpora are
         # Spark-written directories of part files
@@ -32,54 +37,84 @@ def main(out_dir: str, sf_dir: str, skip_csv: str = "") -> int:
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def main(out_dir: str, sf_dir: str, skip_csv: str = "") -> int:
+    skip = set(filter(None, skip_csv.split(",")))
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if name in skip:
             print(f"SKIP {name}")
             continue
+        rc = run_one(out_dir, sf_dir, name, sql)
+        if rc:
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+def run_one(out_dir: str, sf_dir: str, name: str, sql: str) -> bool:
+    """One query on a fresh connection, closed (and gc'd) before the
+    next: a query that exhausts DuckDB's pool must not poison its
+    successors — observed at sf10, where one giant oracle made every
+    later kilobyte allocation fail until the process died."""
+    import gc
+    con = None
+    try:
+        con = connect(sf_dir)
+        ok = compare_one(con, out_dir, name, sql)
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        ok = False
+    finally:
+        if con is not None:
+            try:
+                con.close()
+            except Exception:
+                pass
+        gc.collect()
+    return ok
+
+
+def compare_one(con, out_dir: str, name: str, sql: str) -> bool:
         # read the Spark output FIRST: a restricted Verify run leaves
         # most outputs missing, and the oracle side can be expensive
         try:
             got = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
-            n_fail += 1
-            continue
+            return False
         try:
             exp = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
+            return False
         exp = exp.reindex(sorted(exp.columns), axis=1)
         got = got.reindex(sorted(got.columns), axis=1)
         if list(exp.columns) != list(got.columns):
             print(f"FAIL {name}: columns differ: oracle={list(exp.columns)} spark={list(got.columns)}")
-            n_fail += 1
-            continue
+            return False
         if list(exp.dtypes) != list(got.dtypes):
             print(f"FAIL {name}: dtypes differ:\n  oracle={dict(exp.dtypes.astype(str))}\n  spark ={dict(got.dtypes.astype(str))}")
-            n_fail += 1
-            continue
+            return False
         exp_s = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
         got_s = got.sort_values(by=list(got.columns)).reset_index(drop=True)
         if len(exp_s) != len(got_s):
             print(f"FAIL {name}: row counts differ: oracle={len(exp_s)} spark={len(got_s)}")
-            n_fail += 1
-            continue
+            return False
         if not exp_s.equals(got_s):
             diff = (exp_s != got_s) & ~(exp_s.isna() & got_s.isna())
             bad = diff.any(axis=1)
             print(f"FAIL {name}: {bad.sum()} differing rows; first few:")
             print("  oracle:", exp_s[bad].head(3).to_dict("records"))
             print("  spark :", got_s[bad].head(3).to_dict("records"))
-            n_fail += 1
-            continue
+            return False
         print(f"PASS {name} ({len(exp_s)} rows)")
-        n_pass += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
-    return 1 if n_fail else 0
+        return True
 
 
 if __name__ == "__main__":
