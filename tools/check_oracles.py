@@ -3,14 +3,21 @@
 written by graft.Verify — approximates the driver's DuckDB compare
 (sort columns by name, sort rows, compare values exactly).
 
-Usage: python3 tools/check_oracles.py <verify_out_dir> <sf_dir> [skip_csv]
+Usage: python3 tools/check_oracles.py <verify_out_dir> <sf_dir> [skip_csv] [timeout_sec]
 
 skip_csv: optional comma-separated query names to skip — used by the
 sf1 sweep for the deliberately brute-force all-pairs oracles
 (exhaustive Jaccard / connected-components references), whose DuckDB
 cost is quadratic in corpus size by design and infeasible at 50k docs.
+
+timeout_sec: optional per-query wall limit (0 = none, the default).
+Used by the big-corpus sweeps (sf10): one oracle whose DuckDB plan
+explodes must time out as its own TIMEOUT row, not stall the sweep.
+Runs each query in a worker process (fresh interpreter, killed on
+expiry — DuckDB has no reliable in-process interrupt).
 """
 import json
+import multiprocessing as mp
 import os
 import sys
 
@@ -40,21 +47,55 @@ def connect(sf_dir: str):
     return con
 
 
-def main(out_dir: str, sf_dir: str, skip_csv: str = "") -> int:
+def main(out_dir: str, sf_dir: str, skip_csv: str = "", timeout_sec: int = 0) -> int:
     skip = set(filter(None, skip_csv.split(",")))
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_timeout = 0
     for name, sql in sorted(oracle.items()):
         if name in skip:
             print(f"SKIP {name}")
             continue
-        rc = run_one(out_dir, sf_dir, name, sql)
-        if rc:
+        if timeout_sec > 0:
+            rc = run_one_with_timeout(out_dir, sf_dir, name, sql, timeout_sec)
+        else:
+            rc = run_one(out_dir, sf_dir, name, sql)
+        if rc is None:
+            n_timeout += 1
+        elif rc:
             n_pass += 1
         else:
             n_fail += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    timed_out = f", {n_timeout} timed out" if n_timeout else ""
+    print(f"\n{n_pass} passed, {n_fail} failed{timed_out}")
     return 1 if n_fail else 0
+
+
+def _worker(out_dir, sf_dir, name, sql, q):
+    q.put(run_one(out_dir, sf_dir, name, sql))
+
+
+def run_one_with_timeout(out_dir, sf_dir, name, sql, timeout_sec):
+    """None = timed out (neither pass nor fail: the oracle, not the
+    engine, ran out of budget); spawn ctx so the child holds no
+    inherited DuckDB state."""
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=_worker, args=(out_dir, sf_dir, name, sql, q))
+    p.start()
+    p.join(timeout_sec)
+    if p.is_alive():
+        p.terminate()
+        p.join(10)
+        if p.is_alive():
+            p.kill()
+            p.join()
+        print(f"TIMEOUT {name} (> {timeout_sec}s in DuckDB)")
+        return None
+    try:
+        return q.get_nowait()
+    except Exception:
+        print(f"FAIL {name}: oracle worker died without a result")
+        return False
 
 
 def run_one(out_dir: str, sf_dir: str, name: str, sql: str) -> bool:
@@ -118,4 +159,7 @@ def compare_one(con, out_dir: str, name: str, sql: str) -> bool:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else ""))
+    sys.exit(main(
+        sys.argv[1], sys.argv[2],
+        sys.argv[3] if len(sys.argv) > 3 else "",
+        int(sys.argv[4]) if len(sys.argv) > 4 else 0))
