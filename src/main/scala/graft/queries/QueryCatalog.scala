@@ -27,11 +27,64 @@ object QueryCatalog {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    // the events table carries TIMESTAMP(NANOS) parquet, which Spark
-    // only reads as long (nanos since epoch); queries convert explicitly
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet, robust to the physical `ts` encodings the corpus
+    * has shipped as (VERDICT r9 #1): TIMESTAMP(NANOS) — the original
+    * driver testdata and fix_scaleup_events output, readable by Spark
+    * only as long nanos under `nanosAsLong`; plain INT64 nanos — raw
+    * ScaleUp output; and timestamp[us] (isAdjustedToUTC=false → NTZ)
+    * — the regenerated driver testdata. Callers that use `ts` must go
+    * through [[eventsMicros]]; this raw read exists for the queries
+    * that only touch non-time columns but still must not fail on a
+    * NANOS footer.
+    */
+  private def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    try s.read.parquet(path)
+    catch {
+      case e: Throwable if Option(e.getMessage).exists(_.contains("NANOS")) =>
+        // A TIMESTAMP(NANOS) footer is readable only as long-nanos under
+        // this flag, and the scan consults it again at execution time —
+        // a scoped set/restore would fail at runtime. It is set ONLY
+        // when the footer actually demands it (schema inference just
+        // threw on NANOS) and is a no-op for every other encoding and
+        // every other table; events is the only nanos-bearing table.
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(path)
+    }
+  }
+
+  /** events.parquet with `ts` normalized to epoch-MICROSECOND LongType
+    * across all three physical encodings (see [[eventsRaw]]), matching
+    * DuckDB's `epoch_us(ts)` exactly so the event-time oracles compare
+    * value-for-value.
+    */
+  private def eventsMicros(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, LongType, TimestampType, TimestampNTZType}
+    val raw = eventsRaw(s, dir)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // long nanos (TIMESTAMP(NANOS) under nanosAsLong, or raw ScaleUp
+        // INT64). Integer DIV keeps precision a double division would
+        // lose on 1e18-scale values.
+        raw.withColumn("ts", expr("ts DIV 1000"))
+      case TimestampNTZType =>
+        // timestamp[us] not-adjusted-to-UTC. `unix_micros(cast(ts AS
+        // timestamp))` would shift the stored value by the session-TZ
+        // offset; re-reading with a user schema that maps the column to
+        // TIMESTAMP_LTZ yields the stored micros verbatim, independent
+        // of session timezone (probed against DuckDB's epoch_us).
+        val asLtz = StructType(raw.schema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        s.read.schema(asLtz).parquet(s"$dir/events.parquet")
+          .withColumn("ts", unix_micros(col("ts")))
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")))
+      case other =>
+        sys.error(s"events.ts: unsupported physical encoding $other")
+    }
   }
 
   /** Driver-side query-vector fetch (mirrors reference embed_query +
@@ -143,10 +196,9 @@ object QueryCatalog {
     * `readStream` + watermark).
     */
   val qEventsHourly: Q = (s, dir) => {
-    // ts arrives as long nanos (see tbl); integer DIV keeps precision
-    // that a double division would lose on 1e18-scale values
-    val e = tbl(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // ts arrives as epoch micros whatever the file encoding (eventsMicros)
+    val e = eventsMicros(s, dir)
+      .withColumn("ts", timestamp_micros(col("ts")))
     e.groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -189,7 +241,7 @@ object QueryCatalog {
     * at sf0.001/0.01/0.1 (2/16/171 rows vs 1/21/148 swapped).
     */
   val qSetOps: Q = (s, dir) => {
-    val per = tbl(s, dir, "events")
+    val per = eventsRaw(s, dir)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val thr = per.groupBy(col("event_type"))
@@ -217,8 +269,8 @@ object QueryCatalog {
     * session_window streaming aggregation).
     */
   val qSessionize: Q = (s, dir) => {
-    val e = tbl(s, dir, "events")
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("value"))
+    val e = eventsMicros(s, dir)
+      .select(col("user_id"), col("ts").as("ts_us"), col("value"))
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
     val gapUs = 30L * 60 * 1000 * 1000
     e.withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
@@ -262,7 +314,9 @@ object QueryCatalog {
     * ASOF LEFT JOIN is the oracle.
     */
   val qAsofJoin: Q = (s, dir) => {
-    val e = tbl(s, dir, "events")
+    // ts is already epoch micros (eventsMicros), matching the oracle's
+    // epoch_us on both output columns
+    val e = eventsMicros(s, dir)
     val clicks = e
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("ts").as("click_ts"), col("value").as("click_value"))
@@ -271,10 +325,6 @@ object QueryCatalog {
       .select(col("event_id"), col("user_id"), col("ts"))
     graft.operators.AsofJoin
       .asofBackward(purchases, clicks, Seq("user_id"), "ts", Seq("click_ts", "click_value"))
-      // DuckDB reads the nanos parquet at microsecond precision —
-      // emit microseconds on both sides for the compare
-      .withColumn("ts", expr("ts DIV 1000"))
-      .withColumn("asof_click_ts", expr("asof_click_ts DIV 1000"))
   }
 
   val qAsofJoinSql: String =
@@ -972,7 +1022,7 @@ object QueryCatalog {
        FROM documents GROUP BY lang ORDER BY count DESC, lang"""
 
   val qTopUsers: Q = (s, dir) =>
-    QualityMonitor.topSources(tbl(s, dir, "events"), "user_id", 10)
+    QualityMonitor.topSources(eventsRaw(s, dir), "user_id", 10)
 
   val qTopUsersSql: String =
     """SELECT user_id, count(*) AS "count" FROM events
@@ -2328,7 +2378,7 @@ object QueryCatalog {
     */
   val qStreamBackfill: Q = (s, dir) => {
     import s.implicits._
-    val ev = tbl(s, dir, "events")
+    val ev = eventsRaw(s, dir)
       .select(
         concat(lit("k"), lpad(pmod(col("event_id"), lit(997)).cast("string"), 6, "0"))
           .as("content_hash"),
@@ -2765,7 +2815,7 @@ object QueryCatalog {
     * exact BETWEEN join.
     */
   val qIntervalJoin: Q = (s, dir) => {
-    val e = tbl(s, dir, "events").withColumn("t_us", expr("ts div 1000"))
+    val e = eventsMicros(s, dir).withColumn("t_us", col("ts"))
     val w = e
       .filter(col("user_id") < 20)
       .groupBy(col("user_id").as("w_user"))
