@@ -980,16 +980,25 @@ object QueryCatalog {
     * SQL must replay the identical key at every scale — which makes
     * this row's bench cost quadratic on the ScaleUp corpora twice
     * over: 16 fixed buckets stop bounding candidates (12.5M → 1.25G
-    * pairs at sf1 → sf10), and the perturbed replica families are
-    * mutual near-dup CLIQUES, so even the true output grows
-    * quadratically in replica count (267,875 output pairs at sf1 —
-    * corpus artifact, the q_prefix_jaccard justification). Production
-    * path: the operator's default derives the width from the corpus
-    * ([[graft.dedup.Dedup.adaptiveSignBits]]), keeping candidates
-    * linear at any scale.
+    * pairs at sf1 → sf10, 123 s measured), and the perturbed replica
+    * families are mutual near-dup CLIQUES, so even the true output
+    * grows quadratically in replica count (267,875 output pairs at
+    * sf1 — corpus artifact, the q_prefix_jaccard justification).
+    *
+    * The graded slice is therefore capped at `vec_id < 2000` — the
+    * full driver corpus at every driver sf (sf0.1 is exactly vec_id
+    * 0..1999, so no driver-graded row changes), and exactly the
+    * replica-0 originals on ScaleUp corpora, where key-offsetting
+    * puts replicas at vec_id ≥ 10^7. The cap grades key parity and
+    * exact-cosine verify at fixed density; the SCALE PATH is graded
+    * by q_embed_neardup_adaptive below, whose width grows with the
+    * corpus ([[graft.dedup.Dedup.adaptiveSignBits]]) and whose bench
+    * cost stays linear at any sf (VERDICT r9 #3).
     */
   val qEmbedNearDup: Q = (s, dir) => {
-    val pairs = Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.3, signBits = 4)
+    val pairs = Dedup.embeddingNearDupPairs(
+      tbl(s, dir, "embeddings").filter(col("vec_id") < 2000),
+      "vec_id", "embedding", 0.3, signBits = 4)
     pairs
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
@@ -1001,6 +1010,42 @@ object QueryCatalog {
               + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
               + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
               + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+         FROM embeddings WHERE vec_id < 2000)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+       FROM t a JOIN t b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+       WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+       ORDER BY id_a, id_b"""
+
+  /** Embedding-cosine near-dup with the operator's PRODUCTION default:
+    * blocking width derived from the corpus size
+    * ([[graft.dedup.Dedup.adaptiveSignBits]] — width ∝ log2(n), so
+    * expected per-bucket population and therefore candidate pairs stay
+    * LINEAR in n at any scale; the round-9 sf10 probe measured
+    * pinned-4 at 123 s vs seconds adaptive). Unlike the pinned row
+    * above this runs the FULL embeddings table at every sf — it is the
+    * catalog's evidence that the default configuration survives
+    * scale-up. The oracle replays the adaptive width formula itself
+    * (count → clamp(4, 24, ceil(log2(n/4096)))), so both sides derive
+    * the same key at every scale factor — a full recompute oracle, not
+    * a rows-only check.
+    */
+  val qEmbedNearDupAdaptive: Q = (s, dir) => {
+    val pairs = Dedup.embeddingNearDupPairs(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+    pairs
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  val qEmbedNearDupAdaptiveSql: String =
+    """WITH bits AS (
+         SELECT least(24, greatest(4, CAST(ceil(log2(greatest(count(*) / 4096.0, 1.0))) AS INT))) AS b
+         FROM embeddings),
+       t AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v,
+                list_sum(list_transform(range(0, (SELECT b FROM bits)),
+                  i -> CASE WHEN embedding[CAST(i AS INT) + 1] >= 0
+                            THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END)) AS bkt
          FROM embeddings)
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
@@ -3192,6 +3237,7 @@ object QueryCatalog {
     "q_simhash" -> qSimHash,
     "q_simhash_fast" -> qSimHashFast,
     "q_embed_neardup" -> qEmbedNearDup,
+    "q_embed_neardup_adaptive" -> qEmbedNearDupAdaptive,
     "q_lang_dist" -> qLangDist,
     "q_top_users" -> qTopUsers,
     "q_quality_stats" -> qQualityStats,
@@ -3279,6 +3325,7 @@ object QueryCatalog {
     "q_decontaminate_bloom" -> qDecontaminateBloomSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
+    "q_embed_neardup_adaptive" -> qEmbedNearDupAdaptiveSql,
     "q_lang_dist" -> qLangDistSql,
     "q_top_users" -> qTopUsersSql,
     "q_quality_stats" -> qQualityStatsSql,
