@@ -40,50 +40,84 @@ object QueryCatalog {
     * that only touch non-time columns but still must not fail on a
     * NANOS footer.
     */
+  /** The PHYSICAL parquet encoding of the `ts` column, read from the
+    * file footer itself ("NANOS" | "MICROS" | "MILLIS" | "INT64"). The
+    * inferrable Spark schema is NOT trustworthy here: a rewritten file
+    * can carry stale `org.apache.spark.sql.parquet.row.metadata`
+    * key-value metadata whose catalyst type contradicts the parquet
+    * annotation (fix_scaleup_events.py used to produce exactly that —
+    * NANOS data under a timestamp_ntz metadata schema — which passes
+    * analysis and then fails every scan with
+    * FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE_MISMATCH). The footer
+    * is what the column reader actually decodes, so it is the only
+    * ground truth worth branching on.
+    */
+  private def tsFooterEncoding(s: SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    val conf = s.sessionState.newHadoopConf()
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .head
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try reader.getFileMetaData.getSchema.getType(Seq("ts"): _*).asPrimitiveType()
+      .getLogicalTypeAnnotation match {
+      case t: TimestampLogicalTypeAnnotation => t.getUnit.toString
+      case _                                 => "INT64"
+    } finally reader.close()
+  }
+
+  /** events.parquet read so that non-time queries work under any `ts`
+    * encoding: for a TIMESTAMP(NANOS) footer the session must carry
+    * `nanosAsLong` or schema inference itself throws. The flag is set
+    * ONLY when the footer demands it (and the scan consults it again at
+    * execution time, so a scoped set/restore would fail at runtime); it
+    * is a no-op for every other encoding and table — events is the only
+    * nanos-bearing table.
+    */
   private def eventsRaw(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    try s.read.parquet(path)
-    catch {
-      case e: Throwable if Option(e.getMessage).exists(_.contains("NANOS")) =>
-        // A TIMESTAMP(NANOS) footer is readable only as long-nanos under
-        // this flag, and the scan consults it again at execution time —
-        // a scoped set/restore would fail at runtime. It is set ONLY
-        // when the footer actually demands it (schema inference just
-        // threw on NANOS) and is a no-op for every other encoding and
-        // every other table; events is the only nanos-bearing table.
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s.read.parquet(path)
-    }
+    if (tsFooterEncoding(s, path) == "NANOS")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(path)
   }
 
   /** events.parquet with `ts` normalized to epoch-MICROSECOND LongType
-    * across all three physical encodings (see [[eventsRaw]]), matching
+    * across every physical encoding the corpus has shipped as (VERDICT
+    * r9 #1) — TIMESTAMP(NANOS), plain INT64 nanos, timestamp[us] (NTZ),
+    * and the stale-metadata hybrid (see [[tsFooterEncoding]]) — matching
     * DuckDB's `epoch_us(ts)` exactly so the event-time oracles compare
-    * value-for-value.
+    * value-for-value. The read uses an explicit schema derived from the
+    * FOOTER encoding, overriding any embedded catalyst metadata.
     */
   private def eventsMicros(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{StructType, LongType, TimestampType, TimestampNTZType}
-    val raw = eventsRaw(s, dir)
-    raw.schema("ts").dataType match {
-      case LongType =>
-        // long nanos (TIMESTAMP(NANOS) under nanosAsLong, or raw ScaleUp
-        // INT64). Integer DIV keeps precision a double division would
-        // lose on 1e18-scale values.
-        raw.withColumn("ts", expr("ts DIV 1000"))
-      case TimestampNTZType =>
-        // timestamp[us] not-adjusted-to-UTC. `unix_micros(cast(ts AS
-        // timestamp))` would shift the stored value by the session-TZ
-        // offset; re-reading with a user schema that maps the column to
-        // TIMESTAMP_LTZ yields the stored micros verbatim, independent
-        // of session timezone (probed against DuckDB's epoch_us).
-        val asLtz = StructType(raw.schema.map(f =>
-          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
-        s.read.schema(asLtz).parquet(s"$dir/events.parquet")
-          .withColumn("ts", unix_micros(col("ts")))
-      case TimestampType =>
-        raw.withColumn("ts", unix_micros(col("ts")))
-      case other =>
-        sys.error(s"events.ts: unsupported physical encoding $other")
+    import org.apache.spark.sql.types.{StructType, LongType, TimestampType}
+    val path = s"$dir/events.parquet"
+    val enc = tsFooterEncoding(s, path)
+    if (enc == "NANOS") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // catalyst type the column READER accepts for this footer: long for
+    // nanos (under the flag) and raw INT64; TIMESTAMP_LTZ for micros /
+    // millis — an LTZ request decodes the stored count verbatim,
+    // independent of session timezone (an NTZ->LTZ cast would shift by
+    // the session offset; probed against DuckDB's epoch_us)
+    val tsType = if (enc == "NANOS" || enc == "INT64") LongType else TimestampType
+    val base = s.read.parquet(path).schema
+    val explicit = StructType(base.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val df = s.read.schema(explicit).parquet(path)
+    enc match {
+      // integer DIV keeps precision a double division would lose on
+      // 1e18-scale values
+      case "NANOS" | "INT64" => df.withColumn("ts", expr("ts DIV 1000"))
+      case "MICROS" | "MILLIS" => df.withColumn("ts", unix_micros(col("ts")))
+      case other => sys.error(s"events.ts: unsupported parquet encoding $other")
     }
   }
 

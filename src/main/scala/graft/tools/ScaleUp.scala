@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   *    exact clones of the original vectors (top-k would otherwise fill
   *    with ties);
   *  - events keep their timestamps (same window, 10× the users — the
-  *    realistic shape for a fixed collection period) and `ts` is
-  *    written as the same INT64 nanoseconds the source tables use.
+  *    realistic shape for a fixed collection period); `ts` passes
+  *    through in whatever encoding the source carries (timestamp[us]
+  *    NTZ for driver testdata, long nanos when chaining from a
+  *    fix_scaleup_events output — QueryCatalog.eventsMicros handles
+  *    both), and tools/fix_scaleup_events.py rewrites the result to
+  *    timestamp[ns] so DuckDB binds a timestamp for the oracles.
   *
   * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <replicas> [keyStride]
   *

@@ -27,10 +27,19 @@ def main(sf_dir: str) -> int:
     table = ds.dataset(src, format="parquet").to_table()
     i = table.schema.get_field_index("ts")
     ts = table.column(i)
-    # plain INT64 nanos (raw ScaleUp output) or an already-timestamp
-    # column (a previous partial rewrite) both cast losslessly to ns
+    # plain INT64 nanos (raw ScaleUp output), micros timestamps (ScaleUp
+    # passthrough of the regenerated driver testdata), or an
+    # already-nanos column all cast losslessly to ns
     ts_ns = ts.cast(pa.timestamp("ns"))
     table = table.set_column(i, pa.field("ts", pa.timestamp("ns")), ts_ns)
+    # drop the Spark-written key-value metadata: it embeds the WRITER's
+    # catalyst schema (org.apache.spark.sql.parquet.row.metadata), which
+    # Spark trusts over the parquet annotation on read — after this
+    # rewrite it would claim a non-nanos ts over NANOS data, passing
+    # analysis and failing every scan (round-10 sf1 sweep)
+    table = table.replace_schema_metadata(
+        {k: v for k, v in (table.schema.metadata or {}).items()
+         if not k.startswith(b"org.apache.spark")})
     tmp = f"{sf_dir}/events_ns.parquet"
     pq.write_table(table, tmp, version="2.6", coerce_timestamps=None)
     if os.path.isdir(src):
