@@ -1584,15 +1584,18 @@ object QueryCatalog {
       ("ko", "분산 처리 엔진이란 무엇인가요"),
       ("en", "spark join order table"),
       ("vi", "dữ liệu phân tán và truy vấn"))
-    queries.map { case (tag, q) =>
-      SearchFacade.search(coll, q, embedder, k = 5)
-        .select(
+    // batch form: the embed subtree materializes ONCE; the naive
+    // per-query loop re-derived the full collection 3× (92 s at sf10)
+    SearchFacade.searchBatch(coll, queries, embedder, k = 5, extraCols = Seq("doc_id"))
+      .zip(queries)
+      .map { case ((tag, hits), (_, q)) =>
+        hits.select(
           lit(tag).as("query_tag"),
           lit(SearchFacade.detectQueryLanguageScala(q)).as("query_lang"),
           col("doc_id"),
           col("language"),
           round(col("score"), 4).as("score"))
-    }.reduce(_.unionByName(_))
+      }.reduce(_.unionByName(_))
   }
 
   val qSearchFacadeSql: String =

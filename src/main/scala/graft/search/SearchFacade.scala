@@ -23,14 +23,45 @@ object SearchFacade {
       k: Int = SearchConfig().defaultK,
       filterLanguage: Option[String] = None,
       autoDetectLanguage: Boolean = true,
-      langCol: String = "language"
+      langCol: String = "language",
+      vecCol: String = "embedding"
   ): DataFrame = {
     val lang: Option[String] = filterLanguage.orElse {
       if (autoDetectLanguage) Some(detectQueryLanguageScala(query)) else None
     }
     val qvec = embedder.embed(query)
     val predicate: Option[Column] = lang.map(l => col(langCol) === l)
-    VectorSearch.topK(collection, qvec, k, predicate = predicate)
+    VectorSearch.topK(collection, qvec, k, vecCol = vecCol, predicate = predicate)
+  }
+
+  /** Q6/Q8 batch form — MANY queries against ONE collection. The naive
+    * per-query loop re-executes the collection's whole upstream plan
+    * (clean → detect → embed, linear in corpus characters) once PER
+    * QUERY; the round-10 sf10 bench measured the graded facade query at
+    * 92 s, ~3× its single-pass corpus-embed cost, exactly that
+    * re-derivation. This form materializes the NARROW projection the
+    * searches actually need (filter column + vector + caller-kept
+    * columns) with one localCheckpoint, then runs every per-query
+    * top-k against the materialized blocks — the same
+    * materialize-the-reused-subtree policy the prefix-Jaccard join
+    * adopted in round 9. At 100 TB a query batch must never rescan the
+    * corpus per query.
+    */
+  def searchBatch(
+      collection: DataFrame,
+      queries: Seq[(String, String)],
+      embedder: Embedder,
+      k: Int = SearchConfig().defaultK,
+      langCol: String = "language",
+      vecCol: String = "embedding",
+      extraCols: Seq[String] = Nil
+  ): Seq[(String, DataFrame)] = {
+    val narrow = collection
+      .select((Seq(langCol, vecCol) ++ extraCols).distinct.map(col): _*)
+      .localCheckpoint()
+    queries.map { case (tag, q) =>
+      tag -> search(narrow, q, embedder, k, langCol = langCol, vecCol = vecCol)
+    }
   }
 
   /** Driver-side C15 (the query is a single driver-side string). Same
@@ -75,15 +106,13 @@ object SearchFacade {
       k: Int = 3
   )(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val rows = queries.flatMap { q =>
-      search(collection, q, embedder, k)
-        .collect()
-        .zipWithIndex
-        .map { case (r, i) =>
+    val rows = searchBatch(collection, queries.map(q => (q, q)), embedder, k)
+      .flatMap { case (q, hits) =>
+        hits.collect().zipWithIndex.map { case (r, i) =>
           val score = r.getAs[Double]("score")
           (q, i + 1, score)
         }
-    }
+      }
     rows.toDF("query", "rank", "score")
   }
 }

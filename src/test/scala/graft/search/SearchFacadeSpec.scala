@@ -51,6 +51,23 @@ class SearchFacadeSpec extends SparkTestBase {
     assert(messages(1) == ("user" -> "what is spark?"))
   }
 
+  test("searchBatch materializes once and matches per-query search exactly") {
+    val queries = Seq(("ko", "스파크 조인 지원"), ("en", "spark joins"))
+    val batch = SearchFacade.searchBatch(corpus, queries, embedder, k = 2, extraCols = Seq("id"))
+    assert(batch.map(_._1) == queries.map(_._1))
+    for (((tag, hits), (_, q)) <- batch.zip(queries)) {
+      val naive = SearchFacade.search(corpus, q, embedder, k = 2)
+        .select("id", "language", "score").collect().toSeq
+      assert(hits.select("id", "language", "score").collect().toSeq == naive,
+        s"batch result for $tag diverged from per-query search")
+      // the batch side must run over materialized blocks, not re-derive
+      // the upstream plan: its physical plan carries a checkpointed scan
+      val plan = hits.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+        s"batch search did not materialize the collection:\n$plan")
+    }
+  }
+
   test("Q8: QA battery emits (query, rank, score) rows") {
     implicit val s = spark
     val out = SearchFacade.qaBattery(corpus, Seq("spark joins", "스파크"), embedder, k = 2)
