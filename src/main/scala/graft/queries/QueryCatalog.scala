@@ -250,14 +250,24 @@ object QueryCatalog {
 
   /** Rollup aggregation — subtotals + grand total in one pass
     * (grouping-sets family; SURVEY §2.7 lists it as engine-for-free).
+    * The money total is summed as exact integer CENTS and divided once
+    * (the catalog's bit-reproducible idiom): `round(sum(double), 2)`
+    * held only while |sum|·n·ε stayed under the cent — at sf10 the
+    * grand-total groups reach 2.5e11 over 6M rows and the two engines'
+    * summation orders legitimately diverge in the last cent (round-10
+    * sf10 sweep, 21 differing rows). Cent-sums are order-independent
+    * at any scale.
     */
   val qRollup: Q = (s, dir) =>
     tbl(s, dir, "orders")
       .rollup(col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("total"))
 
   val qRollupSql: String =
-    """SELECT o_orderpriority, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
        ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
 

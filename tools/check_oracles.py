@@ -37,6 +37,11 @@ def connect(sf_dir: str):
     # on kilobyte allocations)
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
     con.sql("SET max_temp_directory_size='60GB'")
+    # a bounded limit makes DuckDB SPILL instead of dying: with the
+    # default (80% of RAM) the sf10 pipeline-e2e oracle grew the pool
+    # until an 8 KB allocation failed (round-10); capped, it spills to
+    # temp_directory and completes
+    con.sql("SET memory_limit='48GB'")
     for t in TABLES:
         # driver testdata ships single files; ScaleUp corpora are
         # Spark-written directories of part files
