@@ -159,13 +159,20 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    // untimed warm-up: full query set once at the smallest sibling sf
-    // (if present), then load-side prep for the target dir. Canonical
-    // paths: a trailing-slash/relative/symlinked SPARK_GRAFT_SF_DIR
-    // must not defeat the "don't warm up on the timed data" guard.
-    val warmDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
-    if (warmDir.isDirectory && warmDir.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath)
-      SparkEntry.queries.foreach { case (n, fn) => runOne(n, fn, warmDir.getPath, record = false) }
+    // untimed warm-up: full query set once at the smallest sibling sf,
+    // falling back to the driver testdata's sf0.001 when the target is
+    // a ScaleUp corpus with no tiny sibling (otherwise every sf1/sf10
+    // bench pays first-touch JIT/codegen on timed attempt 1 — ~1000 s
+    // of "stall" in the round-10 sf10 run). Canonical paths: a
+    // trailing-slash/relative/symlinked SPARK_GRAFT_SF_DIR must not
+    // defeat the "don't warm up on the timed data" guard.
+    val warmDir = Seq(
+      new java.io.File(new java.io.File(sfDir).getParent, "sf0.001"),
+      new java.io.File("/root/testdata/sf0.001")
+    ).find(d => d.isDirectory &&
+      d.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath)
+    warmDir.foreach(d =>
+      SparkEntry.queries.foreach { case (n, fn) => runOne(n, fn, d.getPath, record = false) })
     try SparkEntry.prepare(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prepare FAILED: $e") }
 
