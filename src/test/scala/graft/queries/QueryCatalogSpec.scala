@@ -31,6 +31,10 @@ class QueryCatalogSpec extends SparkTestBase {
     val out = SparkEntry.queries("q_set_ops")(spark, sf())
       .collect().map(_.getLong(0)).toSet
     assert(out.nonEmpty, "q_set_ops returned 0 rows — threshold no longer splits users")
+    // flag is a no-op for the current micros testdata but keeps this
+    // bare read alive if the driver ever regenerates events as
+    // TIMESTAMP(NANOS) again (the spec only touches non-time columns)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val per = spark.read.parquet(s"${sf()}/events.parquet")
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"))
