@@ -168,11 +168,18 @@ object Bench {
     // defeat the "don't warm up on the timed data" guard.
     val warmDir = Seq(
       new java.io.File(new java.io.File(sfDir).getParent, "sf0.001"),
-      new java.io.File("/root/testdata/sf0.001")
+      new java.io.File(sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"))
     ).find(d => d.isDirectory &&
       d.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath)
-    warmDir.foreach(d =>
-      SparkEntry.queries.foreach { case (n, fn) => runOne(n, fn, d.getPath, record = false) })
+    warmDir match {
+      case Some(d) =>
+        System.err.println(s"[bench] warm-up pass on ${d.getPath}")
+        SparkEntry.queries.foreach { case (n, fn) => runOne(n, fn, d.getPath, record = false) }
+      case None =>
+        System.err.println(
+          "[bench] WARM-UP SKIPPED: no tiny sibling sf and SPARK_GRAFT_WARM_DIR unset/missing — " +
+            "timed attempt 1 will carry first-touch JIT")
+    }
     try SparkEntry.prepare(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prepare FAILED: $e") }
 

@@ -60,12 +60,18 @@ object QueryCatalog {
     val conf = s.sessionState.newHadoopConf()
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
+    // Probes ONE part file: every writer that has produced this corpus
+    // (driver pyarrow, ScaleUp, fix_scaleup_events) writes a directory
+    // with a single uniform encoding — a mixed-encoding directory would
+    // fail at scan time on whichever parts disagree with the probe.
     val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
+      if (fs.getFileStatus(p).isDirectory) {
+        val parts = fs.listStatus(p).map(_.getPath)
           .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-          .head
-      else p
+        if (parts.isEmpty)
+          sys.error(s"tsFooterEncoding: no part files under $path — cannot probe the ts encoding")
+        parts.head
+      } else p
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try reader.getFileMetaData.getSchema.getType(Seq("ts"): _*).asPrimitiveType()
       .getLogicalTypeAnnotation match {
@@ -84,6 +90,12 @@ object QueryCatalog {
     */
   private def eventsRaw(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
+    // NOTE this is a GLOBAL session-conf mutation made by a table read:
+    // safe while events is the only nanos-bearing table (the flag is a
+    // no-op everywhere else), but any FUTURE nanos-annotated table must
+    // route through eventsRaw/eventsMicros-style helpers too — a bare
+    // spark.read against a NANOS footer in the same session would
+    // otherwise succeed or fail depending on which query ran first.
     if (tsFooterEncoding(s, path) == "NANOS")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(path)
@@ -1619,17 +1631,25 @@ object QueryCatalog {
       ("en", "spark join order table"),
       ("vi", "dữ liệu phân tán và truy vấn"))
     // batch form: the embed subtree materializes ONCE; the naive
-    // per-query loop re-derived the full collection 3× (92 s at sf10)
-    SearchFacade.searchBatch(coll, queries, embedder, k = 5, extraCols = Seq("doc_id"))
-      .zip(queries)
-      .map { case ((tag, hits), (_, q)) =>
-        hits.select(
-          lit(tag).as("query_tag"),
-          lit(SearchFacade.detectQueryLanguageScala(q)).as("query_lang"),
-          col("doc_id"),
-          col("language"),
-          round(col("score"), 4).as("score"))
-      }.reduce(_.unionByName(_))
+    // per-query loop re-derived the full collection 3× (92 s at sf10).
+    // Bracketed so the corpus-width checkpoint blocks release at the
+    // end of the query — the k-row union is checkpointed (tiny) so the
+    // returned frame stays valid after the release.
+    SearchFacade.withSearchBatch(coll, queries, embedder, k = 5, extraCols = Seq("doc_id")) {
+      frames =>
+        frames
+          .zip(queries)
+          .map { case ((tag, hits), (_, q)) =>
+            hits.select(
+              lit(tag).as("query_tag"),
+              lit(SearchFacade.detectQueryLanguageScala(q)).as("query_lang"),
+              col("doc_id"),
+              col("language"),
+              round(col("score"), 4).as("score"))
+          }
+          .reduce(_.unionByName(_))
+          .localCheckpoint()
+    }
   }
 
   val qSearchFacadeSql: String =

@@ -64,6 +64,33 @@ object SearchFacade {
     }
   }
 
+  /** Bracketed [[searchBatch]]: the checkpointed blocks of the narrow
+    * projection are released as soon as `use` returns, so a long-lived
+    * session (the bench runs the facade query warm-up plus two timed
+    * attempts) cannot accumulate un-unpersisted RDD blocks until
+    * storage eviction kicks in. `use` must fully consume the per-query
+    * frames (collect / checkpoint / write) before returning — after the
+    * bracket they would silently recompute from the un-checkpointed
+    * lineage.
+    */
+  def withSearchBatch[T](
+      collection: DataFrame,
+      queries: Seq[(String, String)],
+      embedder: Embedder,
+      k: Int = SearchConfig().defaultK,
+      langCol: String = "language",
+      vecCol: String = "embedding",
+      extraCols: Seq[String] = Nil
+  )(use: Seq[(String, DataFrame)] => T): T = {
+    val narrow = collection
+      .select((Seq(langCol, vecCol) ++ extraCols).distinct.map(col): _*)
+      .localCheckpoint()
+    try use(queries.map { case (tag, q) =>
+      tag -> search(narrow, q, embedder, k, langCol = langCol, vecCol = vecCol)
+    })
+    finally narrow.unpersist(blocking = false)
+  }
+
   /** Driver-side C15 (the query is a single driver-side string). Same
     * thresholds as the Column variant: korean > 10%, viet > 5% on the
     * lowercased text, default english.
@@ -106,13 +133,13 @@ object SearchFacade {
       k: Int = 3
   )(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val rows = searchBatch(collection, queries.map(q => (q, q)), embedder, k)
+    val rows = withSearchBatch(collection, queries.map(q => (q, q)), embedder, k)(_
       .flatMap { case (q, hits) =>
         hits.collect().zipWithIndex.map { case (r, i) =>
           val score = r.getAs[Double]("score")
           (q, i + 1, score)
         }
-      }
+      })
     rows.toDF("query", "rank", "score")
   }
 }
