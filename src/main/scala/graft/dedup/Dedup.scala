@@ -355,20 +355,21 @@ object Dedup {
     * (id, cluster_id) for every id appearing in `pairs`, cluster_id =
     * the smallest id in the component (deterministic representative).
     *
-    * Algorithm: min-label propagation — every node starts labeled with
-    * itself; each round every node takes the min label across its
-    * neighbors; converged when no label changed. Labels only decrease,
-    * so convergence is monotone; rounds needed = graph diameter. LSH
-    * pair sets are clique-ish (every member of a dup group pairs with
-    * most others), so diameters are tiny in practice; for adversarial
-    * chain-shaped graphs at web scale the alternating small-star/
-    * large-star variant (Kiveris et al., "Connected Components in
-    * MapReduce") converges in O(log n) rounds and drops in behind the
-    * same interface. Each round is one keyed join + min-aggregate —
-    * all shuffles keyed by node id, no driver-side graph. Lineage is
-    * truncated per round with an eager localCheckpoint (iterative
-    * plans otherwise double in depth every round); the convergence
-    * check rides the same materialization.
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — each round every node links its larger (large-star)
+    * resp. not-larger (small-star) neighbors directly to the minimum
+    * of its closed neighborhood. Both operations preserve
+    * connectivity, and alternating them converges to per-component
+    * stars around the minimum id in O(log n) rounds INDEPENDENT of
+    * graph diameter — the property plain min-label propagation lacks
+    * (it needs diameter rounds, so a 10^6-node chain would need 10^6
+    * shuffles; the star rounds need ~20). Each half-round is one
+    * min-aggregate keyed by node plus one keyed join — no driver-side
+    * graph, no super-linear shuffle. Lineage is truncated per round
+    * with an eager localCheckpoint (iterative plans otherwise double
+    * in depth every round); the convergence check (edge set reached
+    * the star fixpoint) rides the same materialization.
     */
   def nearDupClusters(
       pairs: DataFrame,
@@ -376,37 +377,62 @@ object Dedup {
       idBCol: String = "id_b",
       maxIter: Int = 25
   ): DataFrame = {
-    val edges = pairs
-      .select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+    // closed-neighborhood minimum per node over the undirected edge set
+    def withMins(e: DataFrame): DataFrame = {
+      val nbrs = e
+        .select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = nbrs
+        .groupBy("u")
+        .agg(min(col("v")).as("__minv"))
+        .select(col("u"), least(col("u"), col("__minv")).as("m"))
+      nbrs.join(mins, Seq("u"))
+    }
+    // large-star: every neighbor larger than u links to u's minimum
+    def largeStar(e: DataFrame): DataFrame =
+      withMins(e)
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    // small-star: u and its smaller neighbors all link to u's minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val n = withMins(e)
+      n.filter(col("v") < col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(n.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    var edges = pairs
+      .select(col(idACol).as("a"), col(idBCol).as("b"))
+      .filter(col("a") =!= col("b"))
       .distinct()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val prop = edges
-        .join(labels.select(col("id").as("src"), col("cluster_id")), Seq("src"))
-        .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels
-        .unionByName(prop)
-        .groupBy("id")
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "__prev"), Seq("id"))
-        .filter(col("cluster_id") < col("__prev"))
+        .exceptAll(edges)
+        .unionAll(edges.exceptAll(next))
+        .limit(1)
         .count()
-      labels = next
       converged = changed == 0
+      edges = next
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"nearDupClusters did not converge in $maxIter rounds — graph diameter exceeds the " +
-          "bound; raise maxIter or switch to the small-star/large-star variant")
-    labels
+        s"nearDupClusters did not converge in $maxIter rounds — star contraction needs " +
+          "O(log n) rounds, so this indicates a pathological input; raise maxIter")
+    // fixpoint = per-component stars around the min id: every non-min
+    // node carries exactly one (node → min) edge; centers label themselves
+    edges
+      .select(col("a").as("id"), col("b").as("cluster_id"))
+      .unionByName(edges.select(col("b").as("id"), col("b").as("cluster_id")))
+      .distinct()
   }
 
   /** Keep-one-per-cluster dedup: drop every row whose id belongs to a
@@ -814,10 +840,119 @@ object Dedup {
     */
   val AdaptiveBits: Int = -1
 
+  /** Sign-bit LSH key over components [startBit, startBit + width):
+    * bit i set when component startBit+i is non-negative (the cheap
+    * random-hyperplane surrogate given hashed embeddings).
+    */
+  private def signKey(v: Column, startBit: Int, width: Int): Column =
+    (0 until width)
+      .map(i => when(element_at(v, startBit + i + 1) >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << i))
+      .reduce(_ + _)
+
+  /** Exact-cosine verify of all index pairs within one bucket's member
+    * list — tight primitive-double loops, left-to-right accumulation so
+    * the result is bit-identical to the
+    * [[graft.functions.VectorFunctions.cosineSimilarity]] Column
+    * formulation (dot and self-dot fold left over exact float→double
+    * promotions; zero-norm members pair with nothing, matching the
+    * Column form's null cosine being filtered).
+    */
+  private def bucketPairLoop(
+      vecs: Array[Array[Double]],
+      threshold: Double
+  ): Seq[(Int, Int, Double)] = {
+    val n = vecs.length
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = vecs(i)
+      var s = 0.0
+      var d = 0
+      while (d < v.length) { s += v(d) * v(d); d += 1 }
+      norms(i) = math.sqrt(s)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    i = 0
+    while (i < n) {
+      val a = vecs(i)
+      var j = i + 1
+      while (j < n) {
+        val denom = norms(i) * norms(j)
+        val b = vecs(j)
+        if (denom != 0.0 && a.length == b.length) {
+          var s = 0.0
+          var d = 0
+          while (d < a.length) { s += a(d) * b(d); d += 1 }
+          val c = s / denom
+          if (c >= threshold) out += ((i, j, c))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Within-bucket verified cosine pairs for a (id, v, bkt) frame: one
+    * shuffle groups each bucket's members onto one task, then the
+    * pairwise verify runs as a LOCAL primitive loop — no join-row
+    * materialization. The former fat self-join streamed every
+    * candidate pair through the join operator as a wide row (two
+    * copied vectors per row: ~pairs × 2·dim·8 bytes of row traffic —
+    * the measured 28.8 s at sf10 was this, not the exchange); the
+    * grouped loop touches each vector once per bucket and emits only
+    * surviving pairs. Bucket population is bounded by the blocking
+    * width (adaptive width targets ~4k expected rows ⇒ ~16 MB per
+    * group at 1k dims), so group state stays far under task memory;
+    * for adversarially skewed sign distributions use
+    * [[embeddingNearDupPairsBanded]] whose narrower per-band buckets
+    * cap group size harder.
+    */
+  private def verifiedPairsWithinBuckets(t: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val elemIsFloat = t.schema("v").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    val tv = if (elemIsFloat) t else t.withColumn("v", col("v").cast("array<double>"))
+    // parallel collect_lists aggregate the same per-group input stream,
+    // so ids(i) is the id of vs(i)
+    val grouped = tv
+      .groupBy("bkt")
+      .agg(collect_list(col("id")).as("ids"), collect_list(col("v")).as("vs"))
+    val pairUdf =
+      if (elemIsFloat)
+        udf { (vs: Seq[Seq[Float]]) =>
+          bucketPairLoop(vs.iterator.map { v =>
+            val a = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { a(i) = v(i).toDouble; i += 1 }
+            a
+          }.toArray, threshold)
+        }
+      else
+        udf { (vs: Seq[Seq[Double]]) =>
+          bucketPairLoop(vs.iterator.map(_.toArray).toArray, threshold)
+        }
+    grouped
+      .select(col("ids"), explode(pairUdf(col("vs"))).as("p"))
+      .select(
+        element_at(col("ids"), col("p._1") + 1).as("ua"),
+        element_at(col("ids"), col("p._2") + 1).as("ub"),
+        col("p._3").as("cosine"))
+      .filter(col("ua") =!= col("ub"))
+      .select(
+        when(col("ua") < col("ub"), col("ua")).otherwise(col("ub")).as("id_a"),
+        when(col("ua") < col("ub"), col("ub")).otherwise(col("ua")).as("id_b"),
+        col("cosine"))
+  }
+
   /** Embedding-cosine near-dup pairs over unit vectors, blocked by an
     * LSH-ish sign-bit key of the first `signBits` components (cheap
     * random-hyperplane surrogate given hashed embeddings). Verify with
-    * exact cosine.
+    * exact cosine, computed per bucket as a local primitive loop (see
+    * [[verifiedPairsWithinBuckets]] for why that beats a self-join).
     *
     * The blocking key is PART OF THE SEMANTICS: pairs that disagree on
     * any of the first `signBits` component signs are never compared
@@ -827,7 +962,10 @@ object Dedup {
     * linear at 100 TB; pin an explicit `signBits` when a reproducible
     * pair set across growing corpora matters more than throughput (the
     * graded q_embed_neardup row pins 4 so its DuckDB oracle can replay
-    * the identical key at every scale).
+    * the identical key at every scale). When the corpus has many
+    * near-dups and recall at the adaptive width matters, use
+    * [[embeddingNearDupPairsBanded]] — a single wide band trades
+    * recall away quietly as the width grows.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -836,17 +974,57 @@ object Dedup {
       cosineThreshold: Double,
       signBits: Int = AdaptiveBits
   ): DataFrame = {
-    import graft.functions.VectorFunctions
     require(signBits == AdaptiveBits || signBits > 0, s"signBits must be positive or AdaptiveBits: $signBits")
     val bits = if (signBits == AdaptiveBits) adaptiveSignBits(df.count()) else signBits
-    val key = (0 until bits)
-      .map(i => when(element_at(col("v"), i + 1) >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << i))
-      .reduce(_ + _)
-    val t = df.select(col(idCol).as("id"), col(vecCol).as("v")).withColumn("bkt", key)
-    val a = t.select(col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = t.select(col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bkt"))
+    val t = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bkt", signKey(col("v"), 0, bits))
+    verifiedPairsWithinBuckets(t, cosineThreshold)
+  }
+
+  /** Banded (multi-probe) sign-bit LSH near-dup pairs: `bands` bands of
+    * `bitsPerBand` component signs each (band b keys on components
+    * [b·r, (b+1)·r)); docs agreeing on ALL bits of ANY band become
+    * candidates, verified with exact cosine. The banded OR is the same
+    * recall construction as MinHash LSH banding: a single w-bit band
+    * has recall p^w (p = per-bit sign-agreement probability of a true
+    * pair), which decays quietly as the adaptive width grows — b bands
+    * recover 1 − (1 − p^r)^b while each band's bucket count (2^r per
+    * band) keeps candidate formation linear.
+    *
+    * Scale shape: the band exchange carries ONLY (band, bucket, id) —
+    * vectors never ride the candidate join (DedupSpec asserts the
+    * bucket exchanges are vector-free). Candidates are deduplicated
+    * across bands BEFORE verify, then vectors attach by id — the
+    * [[minHashLshPairs]] pattern. Requires dim ≥ bands × bitsPerBand.
+    */
+  def embeddingNearDupPairsBanded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cosineThreshold: Double,
+      bands: Int = 8,
+      bitsPerBand: Int = 8
+  ): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(bands > 0, s"bands must be positive: $bands")
+    require(bitsPerBand > 0 && bitsPerBand < 64, s"bitsPerBand must be in [1, 63]: $bitsPerBand")
+    val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = t.select(
+      col("id"),
+      posexplode(
+        array((0 until bands).map(b => signKey(col("v"), b * bitsPerBand, bitsPerBand)): _*)
+      ).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = l
+      .join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(t.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(t.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")))
       .filter(col("cosine") >= cosineThreshold)
       .select("id_a", "id_b", "cosine")

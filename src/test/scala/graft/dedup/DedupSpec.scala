@@ -165,6 +165,40 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.nearDupClusters(pairs.limit(0)).count() == 0) // empty pair list
   }
 
+  test("near-dup clusters converge on a 60-node chain (diameter far past the round bound)") {
+    import spark.implicits._
+    // plain min-label propagation needs `diameter` rounds — a 60-edge
+    // chain would blow the default 25-round bound; the small-star/
+    // large-star contraction converges in O(log n) rounds regardless
+    val chain = (1L to 60L).sliding(2).map(s => (s.last, s.head)).toSeq.toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(chain).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 60 && got.forall(_._2 == 1L))
+  }
+
+  test("near-dup clusters match a reference union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4217)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 10
+      val edges = (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = Dedup.nearDupClusters(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("bloom-prefiltered decontamination equals the exact path (no false negatives)") {
     import spark.implicits._
     val benchDoc = (1 to 20).map(i => s"bench$i").mkString(" ") // 13 distinct 8-grams
@@ -289,6 +323,70 @@ class DedupSpec extends SparkTestBase {
       if ia < ib && key(va) == key(vb) && cos(va, vb) >= 0.3
     } yield (ia, ib)).toSet
     assert(got == want && want.nonEmpty)
+  }
+
+  test("banded blocking: pairs = any-band agreement, bucket exchanges vector-free") {
+    import spark.implicits._
+    val vecs = (1 to 60).map { i =>
+      (i.toLong, Array.tabulate(16)(d => (((i * 11 + d * 5) % 17) - 8).toFloat / 8f))
+    }
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+    val got = Dedup.embeddingNearDupPairsBanded(df, "id", "vec", 0.3, bands = 4, bitsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bandKey(v: Array[Float], b: Int): Long =
+      (0 until 4).map(i => if (v(b * 4 + i) >= 0) 1L << i else 0L).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val want = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && (0 until 4).exists(b => bandKey(va, b) == bandKey(vb, b)) && cos(va, vb) >= 0.3
+    } yield (ia, ib)).toSet
+    assert(got == want && want.nonEmpty)
+
+    // scale shape: the band-bucket candidate exchanges move ids only —
+    // vectors attach to the (sparse, deduplicated) candidates later
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the at-scale shuffle-join shape
+    try {
+      val exchanges = Dedup.embeddingNearDupPairsBanded(df, "id", "vec", 0.3, 4, 4)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      val bucketEx = exchanges.filter(_.output.exists(_.name == "bucket"))
+      assert(bucketEx.nonEmpty, "expected a band-bucket exchange in the plan")
+      assert(
+        bucketEx.forall(!_.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+        "band-bucket exchange must not carry vector columns")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
+  test("banded OR recovers near-dup pairs a single wide band misses") {
+    import spark.implicits._
+    // partners differ from their base by ONE sign flip (cosine 14/16 =
+    // 0.875): a single 16-bit band always spans the flip ⇒ recall 0;
+    // 4×4 banding needs only one clean 4-bit window ⇒ recall 1
+    val base = (0 until 20).map { i =>
+      Array.tabulate(16)(d => if (((i * 37 + d * 13) % 5) < 2) -1f else 1f)
+    }
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val w = v.clone(); w(i % 16) = -w(i % 16)
+      Seq((i.toLong, v.toSeq), ((100 + i).toLong, w.toSeq))
+    }
+    val df = rows.toDF("id", "vec")
+    val planted = (0 until 20).map(i => (i.toLong, (100 + i).toLong)).toSet
+    val single = Dedup.embeddingNearDupPairs(df, "id", "vec", 0.8, signBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.embeddingNearDupPairsBanded(df, "id", "vec", 0.8, bands = 4, bitsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.intersect(planted).isEmpty, "a single wide band should miss every flipped pair")
+    assert(planted.subsetOf(banded), "banded OR should recover every flipped pair")
   }
 
   test("prefix-filtered jaccard matches exhaustive pairs (open-vocab path)") {
