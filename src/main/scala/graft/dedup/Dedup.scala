@@ -982,6 +982,22 @@ object Dedup {
     verifiedPairsWithinBuckets(t, cosineThreshold)
   }
 
+  /** Exact all-pairs cosine ≥ threshold — NO blocking, every pair
+    * compared. Quadratic by construction: this is the ground-truth
+    * oracle for recall grading over a BOUNDED slice (thousands of
+    * rows), not a corpus operator. Runs as one grouped primitive loop
+    * so even the 8M-pair graded slice costs well under a second.
+    */
+  def bruteForceCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cosineThreshold: Double
+  ): DataFrame =
+    verifiedPairsWithinBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")).withColumn("bkt", lit(0L)),
+      cosineThreshold)
+
   /** Banded (multi-probe) sign-bit LSH near-dup pairs: `bands` bands of
     * `bitsPerBand` component signs each (band b keys on components
     * [b·r, (b+1)·r)); docs agreeing on ALL bits of ANY band become

@@ -1133,6 +1133,80 @@ object QueryCatalog {
        WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
        ORDER BY id_a, id_b"""
 
+  /** Recall grading for banded sign-bit LSH
+    * ([[graft.dedup.Dedup.embeddingNearDupPairsBanded]]) against
+    * brute-force ground truth, on a planted near-dup corpus: every
+    * sliced vector gets a partner with deterministic per-component
+    * jitter (±6·0.008 lattice, hash-free so both engines replay it),
+    * giving true pairs at cosine ≈ 0.97 whose component signs flip
+    * ~8% of the time. A single 8-bit band (one band's width; the
+    * adaptive width reaches 8 near 10^6 rows) then keeps a pair only
+    * if NO flip lands in its window — recall ≈ 0.5 — while 8 bands of
+    * 8 bits need just one clean window of eight: recall ≈ 0.99. The
+    * row outputs both measured recalls; the oracle recomputes brute
+    * force, both key families, and the division. DedupSpec pins the
+    * ≥ 0.9 banded floor; this row grades the exact values.
+    */
+  val qEmbedNearDupBanded: Q = (s, dir) => {
+    val slice = tbl(s, dir, "embeddings")
+      .filter(col("vec_id") < 2000)
+    val base = slice.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // jitter first, negate second: in a single projection the lambda's
+    // vec_id would lateral-bind to the NEW (-vec_id - 1) alias
+    val planted = slice
+      .select(
+        col("vec_id"),
+        transform(
+          col("embedding").cast("array<double>"),
+          (x, i) => x + ((col("vec_id") * 31 + i * 17) % 13 - 6) * lit(0.008)
+        ).as("embedding"))
+      .select((-col("vec_id") - 1).as("vec_id"), col("embedding"))
+    val u = base.unionByName(planted)
+    val nTrue = Dedup.bruteForceCosinePairs(u, "vec_id", "embedding", 0.95)
+      .agg(count(lit(1)).as("n_true"))
+    val single = Dedup.embeddingNearDupPairs(u, "vec_id", "embedding", 0.95, signBits = 8)
+      .agg(count(lit(1)).as("single_found"))
+    val banded = Dedup
+      .embeddingNearDupPairsBanded(u, "vec_id", "embedding", 0.95, bands = 8, bitsPerBand = 8)
+      .agg(count(lit(1)).as("banded_found"))
+    nTrue.crossJoin(single).crossJoin(banded)
+      .select(
+        col("n_true"), col("single_found"), col("banded_found"),
+        round(col("single_found").cast("double") / col("n_true"), 4).as("recall_single"),
+        round(col("banded_found").cast("double") / col("n_true"), 4).as("recall_banded"))
+  }
+
+  val qEmbedNearDupBandedSql: String =
+    """WITH base AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 2000),
+       planted AS (
+         SELECT vec_id AS src_id,
+                list_transform(range(0, len(v)),
+                  i -> v[CAST(i AS INT) + 1] + ((vec_id * 31 + i * 17) % 13 - 6) * 0.008) AS v
+         FROM base),
+       u AS (SELECT vec_id, v FROM base
+             UNION ALL SELECT -src_id - 1 AS vec_id, v FROM planted),
+       keys AS (
+         SELECT vec_id,
+                list_transform(range(0, 8), b ->
+                  list_sum(list_transform(range(0, 8), i ->
+                    CASE WHEN v[CAST(b * 8 + i AS INT) + 1] >= 0
+                         THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END))) AS bks
+         FROM u),
+       brute AS (
+         SELECT a.vec_id AS ia, b.vec_id AS ib
+         FROM u a JOIN u b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95),
+       j AS (
+         SELECT ka.bks AS ba, kb.bks AS bb
+         FROM brute JOIN keys ka ON ka.vec_id = brute.ia JOIN keys kb ON kb.vec_id = brute.ib)
+       SELECT count(*) AS n_true,
+              CAST(sum(CASE WHEN ba[1] = bb[1] THEN 1 ELSE 0 END) AS BIGINT) AS single_found,
+              CAST(sum(CASE WHEN len(list_filter(range(1, 9), b -> ba[CAST(b AS INT)] = bb[CAST(b AS INT)])) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS banded_found,
+              round(CAST(sum(CASE WHEN ba[1] = bb[1] THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_single,
+              round(CAST(sum(CASE WHEN len(list_filter(range(1, 9), b -> ba[CAST(b AS INT)] = bb[CAST(b AS INT)])) > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_banded
+       FROM j"""
+
   // ---------------------------------------------------------------
   // Quality / stats (G-operators)
   // ---------------------------------------------------------------
@@ -1302,7 +1376,11 @@ object QueryCatalog {
   /** Benchmark decontamination over the corpus: every 50th document
     * stands in for an eval set; corpus docs containing ≥ half of a
     * "benchmark" item's distinct 8-gram shingles are flagged. Oracle:
-    * exhaustive list_intersect containment in DuckDB.
+    * an inverted-index gram join in DuckDB (gram → doc postings,
+    * count shared grams per pair, divide by the bench side's gram
+    * count) — the same shape the operator uses, so the oracle stays
+    * linear-ish and survives the sf10 sweep where the earlier
+    * pairwise list_intersect scan exceeded the 600 s budget.
     */
   val qDecontaminate: Q = (s, dir) => {
     val docs = rebalanced(tbl(s, dir, "documents"))
@@ -1323,12 +1401,18 @@ object QueryCatalog {
                         ELSE list_transform(range(1, len(toks) - 6),
                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
                                toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]) END) AS s
-            FROM tokens)
-          SELECT c.doc_id, b.doc_id AS bench_id,
-                 round(len(list_intersect(c.s, b.s)) * 1.0 / len(b.s), 6) AS containment
-          FROM sh c JOIN sh b ON b.doc_id % 50 = 0 AND c.doc_id <> b.doc_id
-          WHERE len(list_intersect(c.s, b.s)) * 1.0 / len(b.s) >= 0.5
-          ORDER BY c.doc_id, bench_id"""
+            FROM tokens),
+          cg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          bg AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+          bsz AS (SELECT doc_id AS bench_id, len(s) AS bench_sz FROM sh WHERE doc_id % 50 = 0),
+          inter AS (
+            SELECT cg.doc_id, bg.bench_id, count(*) AS i
+            FROM cg JOIN bg ON cg.g = bg.g AND cg.doc_id <> bg.bench_id
+            GROUP BY 1, 2)
+          SELECT i.doc_id, i.bench_id, round(i.i * 1.0 / b.bench_sz, 6) AS containment
+          FROM inter i JOIN bsz b USING (bench_id)
+          WHERE i.i * 1.0 / b.bench_sz >= 0.5
+          ORDER BY i.doc_id, bench_id"""
 
   /** Decontamination through the BLOOM-PREFILTERED path
     * (Dedup.bloomContainmentPairs): a bloom over the benchmark grams
@@ -2681,6 +2765,24 @@ object QueryCatalog {
        SELECT doc_id, tf_dup, tf_vector, round(s, 6) AS score
        FROM ks WHERE s > 0 ORDER BY round(s, 6) DESC, doc_id LIMIT 10"""
 
+  /** BM25 top-10 through the PREBUILT inverted index
+    * (KeywordSearch.buildIndex → bm25TopKIndexed): postings + doc
+    * lengths + 1-row stats, with df and tf coming from the filtered
+    * postings rows for exactly the query's terms instead of a corpus
+    * scan — the layout that turns a 100 TB keyword query into
+    * ~terms × avg-postings touched rows. Scores are pinned identical
+    * to the scan path (same fixed-shape rational-idf double sum), so
+    * this row shares q_bm25_topk's oracle VERBATIM: a green row
+    * certifies the whole postings pipeline reproduces the scan
+    * ranking bit-for-bit.
+    */
+  val qBm25Indexed: Q = (s, dir) => {
+    val idx = KeywordSearch.buildIndex(tbl(s, dir, "documents"))
+    KeywordSearch.bm25TopKIndexed(idx, Bm25Terms, 10, rationalIdf = true)
+  }
+
+  val qBm25IndexedSql: String = qBm25TopKSql
+
   /** Hybrid retrieval: RRF fusion of dense top-20 (cosine vs the
     * vec_id=0 query) and BM25 top-20 over the same id space — the
     * hybrid mode modern vector stores serve next to dense-only search.
@@ -3329,6 +3431,7 @@ object QueryCatalog {
     "q_simhash_fast" -> qSimHashFast,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_embed_neardup_adaptive" -> qEmbedNearDupAdaptive,
+    "q_embed_neardup_banded" -> qEmbedNearDupBanded,
     "q_lang_dist" -> qLangDist,
     "q_top_users" -> qTopUsers,
     "q_quality_stats" -> qQualityStats,
@@ -3345,6 +3448,7 @@ object QueryCatalog {
     "q_ann_topk" -> qAnnTopK,
     "q_ann_topk_filtered" -> qAnnTopKFiltered,
     "q_bm25_topk" -> qBm25TopK,
+    "q_bm25_indexed" -> qBm25Indexed,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_sq8_topk" -> qSq8TopK,
     "q_range_search" -> qRangeSearch,
@@ -3418,6 +3522,7 @@ object QueryCatalog {
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_embed_neardup_adaptive" -> qEmbedNearDupAdaptiveSql,
+    "q_embed_neardup_banded" -> qEmbedNearDupBandedSql,
     "q_lang_dist" -> qLangDistSql,
     "q_top_users" -> qTopUsersSql,
     "q_quality_stats" -> qQualityStatsSql,
@@ -3428,6 +3533,7 @@ object QueryCatalog {
     "q_ann_topk" -> qAnnTopKSql,
     "q_ann_topk_filtered" -> qAnnTopKFilteredSql,
     "q_bm25_topk" -> qBm25TopKSql,
+    "q_bm25_indexed" -> qBm25IndexedSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_sq8_topk" -> qSq8TopKSql,
     "q_range_search" -> qRangeSearchSql,
