@@ -171,10 +171,23 @@ object Bench {
       new java.io.File(sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"))
     ).find(d => d.isDirectory &&
       d.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath)
+    // optional exact-name filter (comma-separated SPARK_GRAFT_QUERIES)
+    // for curated scale probes — e.g. the sf100 scale-risk subset —
+    // where timing the full catalog would cost hours without adding
+    // information. Unset = the full catalog, which every recorded
+    // BENCH_r*.json uses.
+    val selected = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(listed) =>
+        val want = listed.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val missing = want.diff(SparkEntry.queries.keySet)
+        require(missing.isEmpty, s"SPARK_GRAFT_QUERIES names unknown queries: $missing")
+        SparkEntry.queries.filter { case (n, _) => want(n) }
+      case None => SparkEntry.queries
+    }
     warmDir match {
       case Some(d) =>
         System.err.println(s"[bench] warm-up pass on ${d.getPath}")
-        SparkEntry.queries.foreach { case (n, fn) => runOne(n, fn, d.getPath, record = false) }
+        selected.foreach { case (n, fn) => runOne(n, fn, d.getPath, record = false) }
       case None =>
         System.err.println(
           "[bench] WARM-UP SKIPPED: no tiny sibling sf and SPARK_GRAFT_WARM_DIR unset/missing — " +
@@ -198,7 +211,7 @@ object Bench {
     // on every fresh run. stall_sec below quantifies how much the
     // discarded attempts lost to such noise.
     val Attempts = 2
-    val attempts = SparkEntry.queries.map { case (name, fn) =>
+    val attempts = selected.map { case (name, fn) =>
       name -> (1 to Attempts).map(_ => runOne(name, fn, sfDir, record = true))
     }
     // min over SUCCESSFUL attempts only; a query whose every attempt

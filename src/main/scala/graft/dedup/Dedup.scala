@@ -388,13 +388,15 @@ object Dedup {
         .select(col("u"), least(col("u"), col("__minv")).as("m"))
       nbrs.join(mins, Seq("u"))
     }
-    // large-star: every neighbor larger than u links to u's minimum
+    // large-star: every neighbor larger than u links to u's minimum.
+    // No distinct here — duplicates ride one half-round into
+    // small-star's min-aggregate (which is duplicate-blind) and its
+    // final distinct; dropping the exchange halves per-round stages
     def largeStar(e: DataFrame): DataFrame =
       withMins(e)
         .filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
     // small-star: u and its smaller neighbors all link to u's minimum
     def smallStar(e: DataFrame): DataFrame = {
       val n = withMins(e)
@@ -410,17 +412,19 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+    var count = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val changed = next
-        .exceptAll(edges)
-        .unionAll(edges.exceptAll(next))
-        .limit(1)
-        .count()
-      converged = changed == 0
+      // both sides are distinct sets, so equal counts + empty one-sided
+      // difference ⇔ set equality; the count comparison (cheap on the
+      // checkpointed blocks) skips the except join on still-moving rounds
+      val nextCount = next.count()
+      converged =
+        nextCount == count && next.exceptAll(edges).limit(1).count() == 0
       edges = next
+      count = nextCount
       iter += 1
     }
     if (!converged)
