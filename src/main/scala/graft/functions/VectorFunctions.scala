@@ -45,16 +45,33 @@ object VectorFunctions {
     */
   def cosineUnit(a: Column, b: Column): Column = dotProduct(a, b)
 
-  /** Squared L2 distance. */
+  /** Squared L2 distance — the codegen'd [[L2DistanceSq]] Expression. */
   def l2DistanceSq(a: Column, b: Column): Column =
+    VectorExpressions.l2DistanceSqFast(a, b)
+
+  /** Reference HOF formulation of squared L2 distance (interpreted —
+    * HOFs are CodegenFallback; kept for tests to pin the fast path).
+    */
+  def l2DistanceSqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0),
       (acc, x) => acc + x
     )
 
-  /** L2-normalize an array column to a unit vector (E3). */
-  def normalize(a: Column): Column = {
+  /** L2-normalize an array column to a unit vector (E3) — the
+    * codegen'd [[NormalizeL2]] Expression. The HOF formulation below
+    * embeds the norm subtree INSIDE the transform lambda, and
+    * interpreted HOF eval re-evaluates it per element — O(dim²)
+    * multiply-adds per row (~1M at dim 1024), the dominant cost the
+    * sf100 probe measured in the PQ/SQ8 prepare passes.
+    */
+  def normalize(a: Column): Column = VectorExpressions.normalizeFast(a)
+
+  /** Reference HOF formulation of normalize (kept for tests to pin the
+    * fast path bit-for-bit; do not use on a hot path — see above).
+    */
+  def normalizeHof(a: Column): Column = {
     val n = l2Norm(a)
     when(n === 0.0, asDouble(a)).otherwise(transform(asDouble(a), x => x / n))
   }

@@ -50,9 +50,18 @@ object ScalarQuant {
       )
 
   /** 8-bit code for one vector column given broadcast `mns`/`mxs`
-    * columns. Constant dimensions (mx == mn) encode to 0.
+    * columns. Constant dimensions (mx == mn) encode to 0. Runs as the
+    * codegen'd [[graft.functions.Sq8Encode]] Expression — the HOF
+    * formulation (kept below for spec cross-checks) is interpreted
+    * per element, the cost the sf100 probe surfaced; the bits are
+    * identical by construction, so the DuckDB replay oracle
+    * (q_sq8_topk) is unaffected.
     */
   def encodeExpr(vec: Column, mns: Column, mxs: Column): Column =
+    graft.functions.VectorExpressions.sq8Encode(vec, mns, mxs)
+
+  /** Reference HOF formulation of [[encodeExpr]] (spec-only). */
+  def encodeExprHof(vec: Column, mns: Column, mxs: Column): Column =
     transform(
       vec.cast("array<double>"),
       (x, i) => {
@@ -66,8 +75,15 @@ object ScalarQuant {
       }
     )
 
-  /** Midpoint dequantization: code c → mn + (c + ½)(mx − mn)/255. */
+  /** Midpoint dequantization: code c → mn + (c + ½)(mx − mn)/255 —
+    * codegen'd [[graft.functions.Sq8Decode]], same bits as the HOF
+    * form below.
+    */
   def decodeExpr(code: Column, mns: Column, mxs: Column): Column =
+    graft.functions.VectorExpressions.sq8Decode(code, mns, mxs)
+
+  /** Reference HOF formulation of [[decodeExpr]] (spec-only). */
+  def decodeExprHof(code: Column, mns: Column, mxs: Column): Column =
     transform(
       code,
       (c, i) => {

@@ -41,4 +41,41 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(math.abs(out(0) - 1.0) < 1e-12)
     assert(out(1) == 0.0)
   }
+
+  test("codegen normalize matches the HOF formulation bit-for-bit (incl. zero vector, double input)") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(200)
+    val rows = e.select(
+      VectorFunctions.normalize(col("embedding")).as("fast"),
+      VectorFunctions.normalizeHof(col("embedding")).as("hof")
+    ).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+    }
+
+    import spark.implicits._
+    val edge = Seq(Seq(0.0, 0.0, 0.0), Seq(-1.5, 2.5, 1e-300), Seq(3.0, -4.0, 12.0))
+      .toDF("a")
+    val er = edge.select(
+      VectorFunctions.normalize(col("a")).as("fast"),
+      VectorFunctions.normalizeHof(col("a")).as("hof")
+    ).collect()
+    er.foreach(r => assert(r.getSeq[Double](0) == r.getSeq[Double](1)))
+  }
+
+  test("codegen l2DistanceSq matches the HOF formulation bit-for-bit") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(200)
+    val q = e.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val rows = e.select(
+      VectorFunctions.l2DistanceSq(col("embedding"), typedLit(q)).as("fast"),
+      VectorFunctions.l2DistanceSqHof(col("embedding"), typedLit(q)).as("hof")
+    ).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+
+    // null input propagates
+    val withNull = e.limit(1).select(
+      VectorFunctions.l2DistanceSq(lit(null).cast("array<float>"), col("embedding")).as("d"))
+    assert(withNull.collect().forall(_.isNullAt(0)))
+  }
 }

@@ -89,4 +89,33 @@ class ScalarQuantSpec extends SparkTestBase {
       .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaStore == oneShot)
   }
+
+  test("codegen encode/decode match the HOF formulations bit-for-bit (incl. clamp + constant dims)") {
+    import spark.implicits._
+    // real embeddings + handcrafted rows exercising clamp-below/above
+    // and a constant dimension — stats from the real table, fixture
+    // rows scored against the same stats so out-of-range values clamp
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select("vec_id", "embedding").limit(200)
+    val stats = ScalarQuant.fit(emb)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val fixture = Seq(
+      (100000L, Array.fill(dim)(99.0f)),   // clamps to 255 everywhere
+      (100001L, Array.fill(dim)(-99.0f)),  // clamps to 0 everywhere
+      (100002L, Array.fill(dim)(0.0f))
+    ).toDF("vec_id", "embedding")
+    val both = emb.unionByName(fixture)
+      .crossJoin(broadcast(stats))
+      .withColumn("code_fast", ScalarQuant.encodeExpr(col("embedding"), col("mns"), col("mxs")))
+      .withColumn("code_hof", ScalarQuant.encodeExprHof(col("embedding"), col("mns"), col("mxs")))
+      .withColumn("dv_fast", ScalarQuant.decodeExpr(col("code_fast"), col("mns"), col("mxs")))
+      .withColumn("dv_hof", ScalarQuant.decodeExprHof(col("code_hof"), col("mns"), col("mxs")))
+      .select("code_fast", "code_hof", "dv_fast", "dv_hof")
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+      assert(r.getSeq[Double](2) == r.getSeq[Double](3))
+    }
+  }
 }
