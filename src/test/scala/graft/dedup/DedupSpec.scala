@@ -439,4 +439,63 @@ class DedupSpec extends SparkTestBase {
       assert(smallDf.collect().map(key).sorted.toSeq == bigDf.collect().map(key).sorted.toSeq)
     } finally spark.conf.set(thresholdKey, prev)
   }
+
+  test("simhash multi-block keys: identical pair set at every block count (pigeonhole exactness)") {
+    import spark.implicits._
+    // spread of Hamming distances, as in the exhaustive-scan test
+    val mk = (subs: Int) =>
+      ((1 to (30 - subs)).map(i => s"base$i") ++ (1 to subs).map(i => s"alt${i}x")).mkString(" ")
+    val df = (0 to 9).map(i => (i.toLong, mk(i))).toDF("id", "text")
+    val d = 3
+    val legacy = Dedup.simHashPairs(df, "id", "text", d, blocks = d + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(legacy.nonEmpty, "fixture should produce close pairs")
+    // more blocks = wider subset keys + more of them; the verified SET
+    // must not move (the blocked key is capacity planning, not semantics)
+    for (b <- Seq(d + 2, d + 4, d + 6)) {
+      val got = Dedup.simHashPairs(df, "id", "text", d, blocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == legacy, s"blocks=$b diverged: got=$got want=$legacy")
+    }
+  }
+
+  test("adaptive simhash block count: legacy banding for small corpora, wider keys at scale") {
+    // d=3: tiny corpora keep the classic 4-block single-segment banding
+    assert(Dedup.adaptiveSimHashBlocks(5000L, 3) == 4)
+    // 5M docs: 4 fixed blocks would collide n²/2^16 ≈ 7.6e8 candidate
+    // pairs (the measured sf100 cliff); the cost model widens to 5
+    // blocks (10 keys/doc, FP ≈ 3.7e6)
+    assert(Dedup.adaptiveSimHashBlocks(5_000_000L, 3) == 5)
+    // monotone non-decreasing in n: more data never narrows the key
+    val ns = Seq(1L, 1000L, 100_000L, 10_000_000L, 1_000_000_000L)
+    val picks = ns.map(Dedup.adaptiveSimHashBlocks(_, 3))
+    assert(picks == picks.sorted, s"block picks should not shrink with n: $ns -> $picks")
+    // pigeonhole lower bound holds for every d
+    for (d <- Seq(0, 1, 6, 8)) {
+      assert(Dedup.adaptiveSimHashBlocks(1_000_000L, d) > d)
+    }
+  }
+
+  test("tiled bucket pair loop crosses tile boundaries without losing or reordering pairs") {
+    import spark.implicits._
+    // 300 vectors in ONE bucket (> 2 tiles of 128): pair enumeration
+    // must cover intra-tile, cross-tile, and boundary pairs identically
+    // to an independent O(n²) reference
+    val dim = 8
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 31 + j * 7) + 1.5))
+    }
+    val df = vecs.toDF("id", "vec")
+    val got = Dedup.bruteForceCosinePairs(df, "id", "vec", 0.97)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < dim) { dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib && cos(va, vb) >= 0.97
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty && got == want, s"got ${got.size} want ${want.size}")
+  }
 }
