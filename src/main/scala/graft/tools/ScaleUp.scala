@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   *    both), and tools/fix_scaleup_events.py rewrites the result to
   *    timestamp[ns] so DuckDB binds a timestamp for the oracles.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <replicas> [keyStride]
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <replicas> [keyStride] [fileScale]
   *
   * `keyStride` (default 10^7) must exceed the source's max key. When
   * CHAINING scale-ups (sf0.1 → sf1 → sf10) pass a larger stride for
@@ -45,6 +45,12 @@ object ScaleUp {
     val out = args(1)
     val rep = args(2).toInt
     val Stride = if (args.length > 3) args(3).toLong else 10_000_000L
+    // Output-file multiplier: the per-table file counts below are sized
+    // for the sf0.1→sf1 hop; a deeper hop (sf10→sf100 writes ~20 GB)
+    // with the same counts would emit >1 GB files from 16 write tasks.
+    // Scaling the counts keeps files in the healthy 100–200 MB band and
+    // the write as parallel as the corpus is large.
+    val fileScale = if (args.length > 4) args(4).toInt else 1
     require(rep <= 26, "suffix alphabet covers at most 26 replicas")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -56,7 +62,7 @@ object ScaleUp {
 
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      df.repartition(files * fileScale).write.mode("overwrite").parquet(s"$out/$name.parquet")
 
     // replica index joined in as a tiny broadcast range — one scan of
     // the source per table, `rep` output rows per input row
