@@ -26,13 +26,60 @@ object Dedup {
     * iteration order; distributed determinism requires an explicit
     * order, so the caller names the tiebreak columns (e.g. source,
     * chunk_index) — SURVEY.md §7.5 item 5.
+    *
+    * Scale shape: the window is a SINGLE pass over the child — right
+    * whenever the child is expensive to recompute (a UDF stage, a
+    * parse) or rows are narrow. Its weakness is a massively duplicated
+    * group (one boilerplate doc × 10^8 copies funnels into one window
+    * task); corpora with that profile over a cheap-to-rescan child use
+    * [[exactDedupAggJoin]]. Fat-row pipelines should dedup AFTER
+    * projecting the payload down ([[exactDedupByKey]]) — round-11
+    * sf100 measured text-through-the-window in the search façade at
+    * 37× for a 13.9× decade, pure shuffle spill of a column the query
+    * was about to drop.
     */
-  def exactDedup(df: DataFrame, textCol: String, orderCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col("__h")).orderBy(orderCols.map(col): _*)
-    df.withColumn("__h", contentHash(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
+  def exactDedup(df: DataFrame, textCol: String, orderCols: Seq[String]): DataFrame =
+    exactDedupByKey(
+      df.withColumn("__h", contentHash(col(textCol))), "__h", orderCols)
+      .drop("__h")
+
+  /** [[exactDedup]] with a PRECOMPUTED duplicate-group key column —
+    * the entry point for fat-row pipelines: compute the key while the
+    * payload is still cheap to scan, project the payload down to what
+    * the downstream actually needs, and dedup the NARROW frame so the
+    * shuffle never moves the payload. Single-pass (window), so an
+    * expensive child (e.g. an embedding UDF) is evaluated exactly
+    * once.
+    */
+  def exactDedupByKey(df: DataFrame, keyCol: String, orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must name a deterministic tiebreak")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__h", "__rn")
+      .drop("__rn")
+  }
+
+  /** Hot-key-safe keep-first for corpora where one duplicate group can
+    * be astronomically large (the boilerplate-page profile): winner
+    * selection is an ordinary aggregate — groupBy(key).min(struct(
+    * orderCols)) — followed by a left-semi equi-join on
+    * (key, orderCols). The aggregate partial-aggregates map-side, so
+    * the hottest group reaches the reducer as one row per upstream
+    * partition, and the join key is unique per row — no funnel
+    * anywhere (same no-window rule as [[lineDedupStats]]). The trade:
+    * the child is evaluated TWICE (winners branch + join branch) —
+    * point it at a cheap scan, or checkpoint an expensive child first;
+    * measured at sf10, putting an embed UDF under this variant cost
+    * 1.6× vs the single-pass window. orderCols must uniquely identify
+    * a row within a duplicate group.
+    */
+  def exactDedupAggJoin(df: DataFrame, keyCol: String, orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must name a deterministic tiebreak")
+    val winners = df
+      .groupBy(col(keyCol))
+      .agg(min(struct(orderCols.map(col): _*)).as("__w"))
+      .select(col(keyCol) +: orderCols.map(c => col(s"__w.$c").as(c)): _*)
+    df.join(winners, keyCol +: orderCols, "left_semi")
   }
 
   /** Corpus-wide LINE-level dedup stats — the C4/RefinedWeb

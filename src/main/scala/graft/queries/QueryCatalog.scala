@@ -1707,9 +1707,21 @@ object QueryCatalog {
       .otherwise(col("text"))
     val base = rebalanced(tbl(s, dir, "documents"))
       .select(col("doc_id"), langText.as("text"))
-    val dd = Dedup.exactDedup(base, "text", Seq("doc_id"))
-      .withColumn("language", LanguageDetect.detectContentLanguage(col("text")))
-    val coll = Embedders.withEmbedding(dd, "text", "embedding", embedder)
+    // Everything the search needs from the text — language, embedding,
+    // dedup key — derives in the SCAN stage; the dedup shuffle then
+    // moves only (doc_id, language, 64-float vector, 16-byte key), and
+    // the text column never enters an exchange. Embed-then-dedup is
+    // output-identical to dedup-then-embed (equal texts embed equally),
+    // and the round-11 sf100 probe measured the text-through-the-window
+    // order at 37× for a 13.9× decade — pure shuffle spill of a column
+    // the query drops right after.
+    val enriched = Embedders
+      .withEmbedding(
+        base.withColumn("language", LanguageDetect.detectContentLanguage(col("text"))),
+        "text", "embedding", embedder)
+      .withColumn("__h", Dedup.contentHash(col("text")))
+      .select("doc_id", "language", "embedding", "__h")
+    val coll = Dedup.exactDedupByKey(enriched, "__h", Seq("doc_id")).drop("__h")
     val queries = Seq(
       ("ko", "분산 처리 엔진이란 무엇인가요"),
       ("en", "spark join order table"),

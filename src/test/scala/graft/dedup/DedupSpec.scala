@@ -83,6 +83,50 @@ class DedupSpec extends SparkTestBase {
     assert(once.count() == twice.count())
   }
 
+  test("exactDedup agg-join keeps exactly the window-reference winners") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // several duplicate groups with shuffled arrival order + normalization
+    val rows = Seq(
+      ("s3", 2, "Alpha  beta"), ("s1", 0, "alpha beta"), ("s2", 1, " ALPHA BETA "),
+      ("s1", 5, "gamma"), ("s0", 9, "GAMMA"),
+      ("s7", 1, "unique one"), ("s7", 2, "unique two"))
+    val df = rows.toDF("source", "pos", "text")
+    val got = Dedup.exactDedup(df, "text", Seq("source", "pos"))
+      .orderBy("source", "pos").collect().toSeq
+    val w = Window.partitionBy(Dedup.contentHash(col("text"))).orderBy(col("source"), col("pos"))
+    val ref = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .orderBy("source", "pos").collect().toSeq
+    assert(got == ref)
+  }
+
+  test("exactDedupAggJoin: no window in the plan, same winners as the window path") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"payload text ${i % 7}")).toDF("id", "text")
+    val keyed = df.withColumn("__h", Dedup.contentHash(col("text")))
+    val dd = Dedup.exactDedupAggJoin(keyed, "__h", Seq("id"))
+    val plan = dd.queryExecution.executedPlan.toString
+    // winner selection must be an aggregate (map-side combinable), not a window
+    assert(!plan.contains("Window"), s"keep-first must not plan a window:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"expected aggregate winner selection:\n$plan")
+    val viaWindow = Dedup.exactDedupByKey(keyed, "__h", Seq("id"))
+    assert(dd.drop("__h").orderBy("id").collect().toSeq ==
+      viaWindow.drop("__h").orderBy("id").collect().toSeq)
+  }
+
+  test("exactDedupByKey on a narrow frame keeps the payload out of every exchange") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"payload text $i ${i % 7}")).toDF("id", "text")
+    val narrow = df
+      .withColumn("__h", Dedup.contentHash(col("text")))
+      .select("id", "__h")
+    val dd = Dedup.exactDedupByKey(narrow, "__h", Seq("id"))
+    val plan = dd.queryExecution.executedPlan.toString
+    "Exchange[^\\n]*".r.findAllIn(plan).foreach(ex => assert(!ex.contains("text"), ex))
+    assert(dd.count() == df.select("text").distinct().count())
+  }
+
   test("minhash LSH finds near-identical docs and estimates jaccard") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"token$i").mkString(" ")
