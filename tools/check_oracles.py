@@ -36,7 +36,15 @@ def connect(sf_dir: str):
     # (observed at sf10: one exhausted pool made every later query fail
     # on kilobyte allocations)
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
-    con.sql("SET max_temp_directory_size='60GB'")
+    # the spill budget must fit the DISK, not just a constant: with a
+    # 60GB cap on a host holding only ~50GB free, a big spiller dies
+    # mid-query on ENOSPC (or, worse, surfaces as a bad-allocation OOM
+    # when the temp write fails) — observed round-11 when the 23GB
+    # sf100 corpus shrank the free space under the old fixed cap.
+    # Leave a 10GB guard for the OS and the Spark dumps being compared.
+    free_gb = os.statvfs("/tmp").f_bavail * os.statvfs("/tmp").f_frsize // 2**30
+    spill_gb = max(4, min(60, free_gb - 10))
+    con.sql(f"SET max_temp_directory_size='{spill_gb}GB'")
     # a bounded limit makes DuckDB SPILL instead of dying: with the
     # default (80% of RAM) the sf10 pipeline-e2e oracle grew the pool
     # until an 8 KB allocation failed (round-10); capped, it spills to
