@@ -156,7 +156,15 @@ object QueryCatalog {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        // exact integer cents (the q_rollup idiom): round(sum(double), 2)
+        // is bit-stable only while |sum|·n·ε stays under a cent — the
+        // round-11 sf100 sweep caught this group summing ~2.8e12 over
+        // 5e7 rows, where Spark's and DuckDB's reduce orders
+        // legitimately diverge in the last cent. Cents sums stay under
+        // 2^53, so the long→double division is exact in both engines
+        // at any scale.
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+          .as("sum_base_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("count_order")
       )
@@ -165,7 +173,7 @@ object QueryCatalog {
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
        round(avg(l_quantity), 4) AS avg_qty,
        count(*) AS count_order
        FROM lineitem
@@ -2977,7 +2985,12 @@ object QueryCatalog {
   val qPqRecall: Q = (s, dir) => {
     val (encoded, cbs) = pqIndexFor(s, dir)
     val q = vecOf(s, dir, 0L)
-    val pq = ProductQuant.adcTopK(encoded, cbs, q, 10, shortlist = 100).select("vec_id")
+    // adaptiveShortlist, not a constant: the round-11 sf100 sweep
+    // caught recall_ok=false at 2M vectors with the fixed 100 — the
+    // shortlist must stay a constant fraction of the corpus
+    // (ProductQuant.adaptiveShortlist's measured rationale).
+    val sl = ProductQuant.adaptiveShortlist(encoded.count(), 10)
+    val pq = ProductQuant.adcTopK(encoded, cbs, q, 10, shortlist = sl).select("vec_id")
     val exact = encoded
       .withColumn("score", round(cosineSimilarity(col("embedding"), typedLit(q.toSeq)), 4))
       .orderBy(desc("score"), col("vec_id"))

@@ -35,6 +35,21 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuant {
 
+  /** ADC shortlist sized to the corpus: a constant 1/2000 fraction of
+    * n, floored at max(100, 5k). The quantization error of the codes
+    * is scale-free, but the number of DISTRACTORS whose ADC score
+    * beats a true neighbor's grows linearly with n — so a fixed
+    * shortlist's recall collapses as the corpus grows past the size it
+    * was tuned on. Measured (tools/PqProbe, m=16 ksub=256, 5 query
+    * vectors): at 200k vectors shortlist=100 holds recall@10 = 10/10;
+    * at 2M the same 100 collapses to 0–3/10 while n/2000 = 1000
+    * restores 10/10 on every probe. Same adaptive-knob pattern as
+    * Dedup.adaptiveSignBits / adaptiveSimHashBlocks: the default a
+    * user doesn't tune must be the one that survives scale-up.
+    */
+  def adaptiveShortlist(n: Long, k: Int = 10): Int =
+    math.max(math.max(100, 5 * k), (n / 2000L).toInt)
+
   /** Per-subspace codebooks: codebooks(j)(c) is the ksub-entry
     * codebook's c-th centroid for subspace j (dsub doubles each).
     * Trained on a bounded sample of L2-normalized vectors; seeds are

@@ -26,7 +26,12 @@ object PqProbe {
         .orderBy(desc("score"), col("vec_id"))
         .limit(10)
         .select("vec_id").collect().map(_.getLong(0)).toSet
-      for ((m, ksub) <- Seq((8, 16), (8, 64), (8, 256), (16, 16), (16, 64), (16, 256))) {
+      // the (m, ksub) frontier question was settled on small corpora;
+      // fitting 6 combos over millions of vectors answers nothing new
+      val comboCombos =
+        if (e.count() <= 250000) Seq((8, 16), (8, 64), (8, 256), (16, 16), (16, 64), (16, 256))
+        else Seq.empty
+      for ((m, ksub) <- comboCombos) {
         // codebooks/codes are shortlist-independent — fit/encode once per combo
         val cbs = ProductQuant.fit(e, m = m, ksub = ksub)
         val enc = ProductQuant.encode(e, cbs).cache()
@@ -38,6 +43,29 @@ object PqProbe {
         }
         enc.unpersist()
       }
+      // Shortlist-vs-corpus-size sweep at the production (16, 256):
+      // does a FIXED shortlist hold recall as n grows, and what
+      // fraction of n does? Several query vectors — one query's
+      // overlap is too noisy to set a default from.
+      val cbs = ProductQuant.fit(e, m = 16, ksub = 256)
+      val enc = ProductQuant.encode(e, cbs).cache()
+      val n = enc.count()
+      for (shortlist <- Seq(100, 250, 500, 1000, 2000)) {
+        val overlaps = (0L to 4L).map { qid =>
+          val qv = e.filter(col("vec_id") === qid).select("embedding").head().getSeq[Float](0).toArray
+          val ex = e
+            .withColumn("score", round(cosineSimilarity(col("embedding"), typedLit(qv.toSeq)), 4))
+            .orderBy(desc("score"), col("vec_id"))
+            .limit(10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val pq = ProductQuant
+            .adcTopK(enc, cbs, qv, 10, shortlist = shortlist)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          (pq intersect ex).size
+        }
+        println(s"[pqprobe] $dir n=$n shortlist=$shortlist overlaps=${overlaps.mkString(",")} min=${overlaps.min}")
+      }
+      enc.unpersist()
     }
     spark.stop()
   }

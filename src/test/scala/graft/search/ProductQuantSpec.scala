@@ -108,4 +108,18 @@ class ProductQuantSpec extends SparkTestBase {
     // scores are on the 1e-4 grid (rounded), as the exact path emits
     assert(scores.forall(s => math.abs(s * 1e4 - math.rint(s * 1e4)) < 1e-9))
   }
+
+  test("adaptiveShortlist keeps the probed fraction with the small-corpus floor") {
+    // floor: small corpora keep the probed shortlist=100 (and never
+    // under 5k for large k)
+    assert(ProductQuant.adaptiveShortlist(2000, 10) == 100)
+    assert(ProductQuant.adaptiveShortlist(0, 10) == 100)
+    assert(ProductQuant.adaptiveShortlist(2000, 40) == 200)
+    // the two measured anchors (tools/PqProbe): 200k → 100 (10/10),
+    // 2M → 1000 (10/10 where the fixed 100 collapsed to 0–3/10)
+    assert(ProductQuant.adaptiveShortlist(200000, 10) == 100)
+    assert(ProductQuant.adaptiveShortlist(2000000, 10) == 1000)
+    // constant fraction beyond the anchors
+    assert(ProductQuant.adaptiveShortlist(20000000, 10) == 10000)
+  }
 }
