@@ -1016,28 +1016,53 @@ object QueryCatalog {
     Dedup.simHashPairs(rebalanced(tbl(s, dir, "documents")), "doc_id", "text", maxHamming = 6)
 
   val qSimHashFastSql: String =
+    // `toks` must stay SINGLE-referenced: DuckDB materializes any CTE
+    // referenced twice, and the full (doc_id, tok) occurrence stream is
+    // ~2.5e8 rows at sf10 — materializing it exhausted a 100GB pool
+    // (round-11 sf10 sweep). The hash chain gets its own re-derived
+    // token CTE (`tokd`, distinct-only, ~3k rows after dedup) so the
+    // occurrence stream is inlined and flows straight into the
+    // signature aggregate; with this split the sf10 oracle completes
+    // in ~280 s where the double-reference form OOM'd.
     raw"""WITH toks AS (
             SELECT doc_id,
                    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
+            FROM documents),
+          tokd AS (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
             FROM documents),""" +
-      Xxh64OracleSql.hashCtes("toks") +
+      Xxh64OracleSql.hashCtes("tokd") +
       raw""",
           th AS (SELECT doc_id, h FROM toks JOIN xh USING (tok)),
-          bits AS (
-            SELECT doc_id, i,
-                   sum(CASE WHEN ((h >> CAST(i AS INT)) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE 0 END) AS cnt,
-                   count(*) AS n
-            FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
-            GROUP BY doc_id, i),
-          sigs AS (
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN 2 * cnt > n THEN (1::UBIGINT << CAST(i AS INT)) ELSE 0::UBIGINT END) AS UBIGINT) AS sig
-            FROM bits GROUP BY doc_id)
+          """ + simHashSigsAndPairsSql
+
+  /** Shared SimHash-oracle tail over a CTE `th(doc_id, h UBIGINT)`:
+    * one-pass signature aggregation + the exhaustive pair join. The
+    * obvious per-bit formulation (CROSS JOIN range(64), GROUP BY
+    * (doc_id, i)) multiplies the token-occurrence stream 64× before
+    * aggregating — 1.6e10 intermediate rows at sf10, which pushed the
+    * oracle's peak past a 93GB pool (round-11 sweep). 64 inline
+    * conditional sums aggregate the same majorities in ONE pass over
+    * th with doc_id-only groups: measured 547 s @ ~100GB peak →
+    * 182 s under a 48GB cap on the same corpus, identical rows.
+    * Bit weights are literal powers of two because DuckDB
+    * overflow-checks `<<` even for in-range UBIGINT shifts (the
+    * Xxh64OracleSql lesson).
+    */
+  private lazy val simHashSigsAndPairsSql: String = {
+    val terms = (0 until 64).map { i =>
+      s"(CASE WHEN 2 * sum(CASE WHEN ((h >> $i) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE 0 END)" +
+        s" > count(*) THEN ${BigInt(1) << i}::UBIGINT ELSE 0::UBIGINT END)"
+    }.mkString(" | ")
+    raw"""sigs AS (
+            SELECT doc_id, CAST($terms AS UBIGINT) AS sig
+            FROM th GROUP BY doc_id)
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sig, b.sig)) <= 6
           ORDER BY id_a, id_b"""
+  }
 
   val qSimHashSql: String =
     raw"""WITH toks AS (
@@ -1046,21 +1071,7 @@ object QueryCatalog {
             FROM documents),
           th AS (
             SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
-          bits AS (
-            SELECT doc_id, i,
-                   sum(CASE WHEN ((h >> CAST(i AS INT)) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE 0 END) AS cnt,
-                   count(*) AS n
-            FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
-            GROUP BY doc_id, i),
-          sigs AS (
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN 2 * cnt > n THEN (1::UBIGINT << CAST(i AS INT)) ELSE 0::UBIGINT END) AS UBIGINT) AS sig
-            FROM bits GROUP BY doc_id)
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.sig, b.sig)) <= 6
-          ORDER BY id_a, id_b"""
+          """ + simHashSigsAndPairsSql
 
   /** Embedding-cosine near-dup pairs with sign-bit blocking; the block
     * key is reproduced exactly in the oracle so both sides prune

@@ -48,8 +48,20 @@ def connect(sf_dir: str):
     # a bounded limit makes DuckDB SPILL instead of dying: with the
     # default (80% of RAM) the sf10 pipeline-e2e oracle grew the pool
     # until an 8 KB allocation failed (round-10); capped, it spills to
-    # temp_directory and completes
-    con.sql("SET memory_limit='48GB'")
+    # temp_directory and completes. Size the cap to the HOST, not a
+    # constant: the round-11 sf10 facade oracle carries ~50GB of
+    # non-spillable state and OOMs under a fixed 48GB on a 128GB box
+    # that can hold it comfortably. 16GB guard for the OS + pandas
+    # result frames.
+    # MemAvailable, NOT free pages: right after a Spark dump the page
+    # cache holds the parquet just written, so free-page counts
+    # collapse to a few GB and would floor the limit — reclaimable
+    # cache is available memory for this purpose.
+    meminfo = {l.split(":")[0]: int(l.split()[1])
+               for l in open("/proc/meminfo") if ":" in l}
+    avail_gb = meminfo["MemAvailable"] // 2**20
+    mem_gb = max(16, min(100, avail_gb - 16))
+    con.sql(f"SET memory_limit='{mem_gb}GB'")
     for t in TABLES:
         # driver testdata ships single files; ScaleUp corpora are
         # Spark-written directories of part files
