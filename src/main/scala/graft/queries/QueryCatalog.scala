@@ -810,6 +810,23 @@ object QueryCatalog {
       .select("doc_id", "chunk_index", "content_hash")
   }
 
+  /** K5 keep-first via the hot-key-safe variant
+    * ([[Dedup.exactDedupAggJoin]]): winner selection is a
+    * map-side-combinable aggregate + left-semi join instead of a
+    * window, so one astronomically hot duplicate group (the
+    * boilerplate-page profile) cannot funnel into a single window
+    * task. Winners are identical to q_dedup_exact by construction,
+    * so the oracle is the window-formulation SQL verbatim — the row
+    * grades that equivalence cross-engine on real data, on top of
+    * DedupSpec's plan assert (aggregate, no Window).
+    */
+  val qDedupHotkey: Q = (s, dir) => {
+    val keyed = qChunkFixed(s, dir)
+      .withColumn("content_hash", Dedup.contentHash(col("chunk_text")))
+      .select("doc_id", "chunk_index", "content_hash")
+    Dedup.exactDedupAggJoin(keyed, "content_hash", Seq("doc_id", "chunk_index"))
+  }
+
   val qDedupExactSql: String =
     raw"""WITH idx AS (
           SELECT doc_id, text, unnest(range(0,
@@ -3466,6 +3483,7 @@ object QueryCatalog {
     "q_chunk_recursive" -> qChunkRecursive,
     "q_chunk_semantic" -> qChunkSemantic,
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_hotkey" -> qDedupHotkey,
     "q_line_dedup" -> qLineDedup,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_lsh" -> qMinHashLsh,
@@ -3551,6 +3569,7 @@ object QueryCatalog {
     "q_chunk_recursive" -> qChunkRecursiveSql,
     "q_chunk_semantic" -> qChunkSemanticSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_hotkey" -> qDedupExactSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_minhash_lsh" -> qMinHashLshSql,
