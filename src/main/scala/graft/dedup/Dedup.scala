@@ -72,14 +72,26 @@ object Dedup {
     * measured at sf10, putting an embed UDF under this variant cost
     * 1.6× vs the single-pass window. orderCols must uniquely identify
     * a row within a duplicate group.
+    *
+    * Null handling: the semi-join uses NULL-SAFE equality (`<=>`) on
+    * the key and every tiebreak column, so a null-key group (or a
+    * null inside the winning tiebreak tuple) keeps exactly one
+    * representative — identical to the window formulation, where
+    * partitionBy/orderBy already treat NULL as an ordinary value. A
+    * null-unsafe join here would silently DROP the whole null-key
+    * group (no row ever equals its winner), breaking the documented
+    * window equivalence (ADVICE r11).
     */
   def exactDedupAggJoin(df: DataFrame, keyCol: String, orderCols: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must name a deterministic tiebreak")
     val winners = df
       .groupBy(col(keyCol))
       .agg(min(struct(orderCols.map(col): _*)).as("__w"))
-      .select(col(keyCol) +: orderCols.map(c => col(s"__w.$c").as(c)): _*)
-    df.join(winners, keyCol +: orderCols, "left_semi")
+      .select(col(keyCol).as("__wk") +: orderCols.zipWithIndex.map {
+        case (c, i) => col(s"__w.$c").as(s"__wo$i")
+      }: _*)
+    val cond = (keyCol, "__wk") +: orderCols.zipWithIndex.map { case (c, i) => (c, s"__wo$i") }
+    df.join(winners, cond.map { case (l, r) => df(l) <=> winners(r) }.reduce(_ && _), "left_semi")
   }
 
   /** Corpus-wide LINE-level dedup stats — the C4/RefinedWeb

@@ -3175,8 +3175,12 @@ object QueryCatalog {
     // (tools/DistinctProbe: combined 5.5 s at sf1 → 43.0 s at sf10,
     // 16× for 10× rows; split 1.8 → 3.0 s, linear, identical values).
     // Each pass is a pruned one-column scan; at 100 TB two cheap
-    // scans beat one Expand-doubled shuffle.
-    val exact = l.select("l_partkey").distinct().count()
+    // scans beat one Expand-doubled shuffle. The null filter keeps
+    // the split formulation value-identical to count(DISTINCT …):
+    // distinct().count() would count NULL as one extra value, while
+    // both count(DISTINCT) and approx_count_distinct ignore NULLs
+    // (latent on TPC-H's non-null l_partkey; real on nullable keys).
+    val exact = l.select("l_partkey").na.drop().distinct().count()
     val approx = l
       .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02))
       .head().getLong(0)

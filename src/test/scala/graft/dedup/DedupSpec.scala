@@ -115,6 +115,23 @@ class DedupSpec extends SparkTestBase {
       viaWindow.drop("__h").orderBy("id").collect().toSeq)
   }
 
+  test("exactDedupAggJoin keeps one representative of a null-key group (window parity)") {
+    import spark.implicits._
+    // a null key group AND a null inside the tiebreak tuple — both must
+    // survive the semi-join exactly as they survive the window path
+    val df = Seq(
+      (Some("k1"), Some(3L)), (Some("k1"), Some(1L)),
+      (None: Option[String], Some(7L)), (None: Option[String], Some(2L)),
+      (Some("k2"), None: Option[Long]), (Some("k2"), Some(9L))
+    ).toDF("key", "ord")
+    val viaJoin = Dedup.exactDedupAggJoin(df, "key", Seq("ord"))
+      .orderBy(col("key").asc_nulls_first, col("ord").asc_nulls_first).collect().toSeq
+    val viaWindow = Dedup.exactDedupByKey(df, "key", Seq("ord"))
+      .orderBy(col("key").asc_nulls_first, col("ord").asc_nulls_first).collect().toSeq
+    assert(viaJoin == viaWindow)
+    assert(viaJoin.size == 3, s"one winner per group incl. the null-key group: $viaJoin")
+  }
+
   test("exactDedupByKey on a narrow frame keeps the payload out of every exchange") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, s"payload text $i ${i % 7}")).toDF("id", "text")

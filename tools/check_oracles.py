@@ -60,7 +60,15 @@ def connect(sf_dir: str):
     meminfo = {l.split(":")[0]: int(l.split()[1])
                for l in open("/proc/meminfo") if ":" in l}
     avail_gb = meminfo["MemAvailable"] // 2**20
-    mem_gb = max(16, min(100, avail_gb - 16))
+    # Clamp to what the host actually has — never floor ABOVE available
+    # memory (a 16GB floor on a 12GB-available host reintroduces the
+    # hard-OOM mode this cap exists to prevent). Warn when the result
+    # is below a workable minimum instead of pretending we have more.
+    mem_gb = min(100, max(4, avail_gb - 16))
+    if mem_gb < 16:
+        print(f"WARN: only {avail_gb}GB available; DuckDB memory_limit="
+              f"{mem_gb}GB — large oracles may spill heavily or fail",
+              file=sys.stderr)
     con.sql(f"SET memory_limit='{mem_gb}GB'")
     for t in TABLES:
         # driver testdata ships single files; ScaleUp corpora are
