@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.chunk.Chunker
 import graft.clean.TextCleaner
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SemanticDedup}
 import graft.embed.{Embedders, HashEmbedder}
 import graft.functions.VectorFunctions._
 import graft.lang.LanguageDetect
@@ -3466,6 +3466,148 @@ object QueryCatalog {
     ()
   }
 
+  /** Fixed pivot vectors for the semantic-dedup/k-means rows: the
+    * embeddings of vec_id 0..7, in id order — deterministic on both
+    * engines, collected once per call (8 × 64 floats).
+    */
+  private def pivotVecs(s: SparkSession, dir: String): Seq[Array[Float]] =
+    tbl(s, dir, "embeddings")
+      .filter(col("vec_id") < 8)
+      .orderBy("vec_id")
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+      .toSeq
+
+  /** SemDeDup ([[graft.dedup.SemanticDedup]]): cluster the embedding
+    * space, drop within-cluster rows dominated by a ≥0.3-similar
+    * smaller id, return the survivors. Graded with FIXED pivots
+    * (vec_id 0..7) so the DuckDB oracle replays assignment, pairing,
+    * and the keep rule exactly; the production path trains pivots with
+    * k-means and scales k with the corpus (semanticDedupAuto,
+    * spec-pinned — MLlib fit is not engine-portable). The graded
+    * slice is capped at vec_id < 2000 for the same reason as
+    * q_embed_neardup: 8 fixed clusters stop bounding pair volume on
+    * the ScaleUp corpora; the cap grades the machinery at fixed
+    * density while the auto variant owns the scale path.
+    */
+  val qSemanticDedup: Q = (s, dir) => {
+    val e = tbl(s, dir, "embeddings").filter(col("vec_id") < 2000)
+    SemanticDedup
+      .semanticDedup(e.select("vec_id", "embedding"), "vec_id", "embedding",
+        pivotVecs(s, dir), tau = 0.3)
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  val qSemanticDedupSql: String =
+    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 2000),
+       p AS (SELECT vec_id AS pid, v AS pv FROM t WHERE vec_id < 8),
+       a AS (SELECT t.vec_id, t.v, p.pid,
+             list_dot_product(t.v, p.pv) / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos
+             FROM t CROSS JOIN p),
+       asg AS (SELECT vec_id, v, pid AS cluster FROM a
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, pid) = 1),
+       removed AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+                   ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                   AND list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+       SELECT vec_id, CAST(cluster AS INT) AS cluster FROM asg
+       WHERE vec_id NOT IN (SELECT vec_id FROM removed) ORDER BY vec_id"""
+
+  /** One EXACT Lloyd step ([[graft.dedup.SemanticDedup.lloydStep]]):
+    * nearest-pivot assignment (shuffle-free projection, pivots as
+    * codegen literals) + one map-side-combinable aggregate producing
+    * the updated centroids, populations, and cluster tightness. This
+    * upgrades the k-means story from rows-only (MLlib fit inside IVF
+    * build) to a full DuckDB-replayed oracle: the oracle recomputes
+    * the same step from the raw arrays; round(9) absorbs partial-sum
+    * reordering exactly as q_vector_mean does. Runs the FULL
+    * embeddings table at every sf — assignment is linear, the
+    * aggregate is k rows.
+    */
+  val qKmeansStep: Q = (s, dir) =>
+    SemanticDedup
+      .lloydStep(tbl(s, dir, "embeddings"), "embedding", pivotVecs(s, dir))
+      .select(
+        col("cluster"), col("n"),
+        round(element_at(col("__m"), 1), 9).as("mean_d1"),
+        round(element_at(col("__m"), 33), 9).as("mean_d33"),
+        round(col("__mc"), 9).as("mean_cos"))
+
+  val qKmeansStepSql: String =
+    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       p AS (SELECT vec_id AS pid, v AS pv FROM t WHERE vec_id < 8),
+       a AS (SELECT t.vec_id, t.v, p.pid,
+             list_dot_product(t.v, p.pv) / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos
+             FROM t CROSS JOIN p),
+       asg AS (SELECT vec_id, v, pid AS cluster, cos FROM a
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, pid) = 1)
+       SELECT CAST(cluster AS INT) AS cluster, count(*) AS n,
+              round(avg(v[1]), 9) AS mean_d1, round(avg(v[33]), 9) AS mean_d33,
+              round(avg(cos), 9) AS mean_cos
+       FROM asg GROUP BY 1 ORDER BY 1"""
+
+  /** Greedy in-order sequence packing
+    * ([[graft.text.SequencePacking.packGreedy]]): whitespace-token
+    * costs, budget 256, packed per source in doc_id order. The oracle
+    * replays the sequential fold as a recursive CTE. Graded slice
+    * capped at doc_id < 2000 — covers every driver corpus in full and
+    * bounds the oracle's recursion depth (one level per doc per
+    * source) on the big sweeps; scale comes from per-group
+    * parallelism, which the cap does not touch.
+    */
+  val qPackSequences: Q = (s, dir) => {
+    val d = tbl(s, dir, "documents").filter(col("doc_id") < 2000)
+    val withCost = d.withColumn(
+      "toks",
+      size(filter(split(trim(col("text")), "\\s+"), x => x =!= lit(""))).cast("long"))
+    graft.text.SequencePacking.packGreedy(withCost, "source", "doc_id", "toks", budget = 256L)
+  }
+
+  val qPackSequencesSql: String =
+    raw"""WITH RECURSIVE t AS (
+            SELECT source, doc_id,
+                   len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS toks
+            FROM documents WHERE doc_id < 2000),
+          r AS (SELECT source, doc_id, toks,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM t),
+          rec AS (
+            SELECT source, doc_id, toks, rn, 0 AS block_id, 0 AS block_pos, toks AS acc
+            FROM r WHERE rn = 1
+            UNION ALL
+            SELECT r.source, r.doc_id, r.toks, r.rn,
+                   CASE WHEN rec.acc + r.toks > 256 THEN rec.block_id + 1 ELSE rec.block_id END,
+                   CASE WHEN rec.acc + r.toks > 256 THEN 0 ELSE rec.block_pos + 1 END,
+                   CASE WHEN rec.acc + r.toks > 256 THEN r.toks ELSE rec.acc + r.toks END
+            FROM rec JOIN r ON r.source = rec.source AND r.rn = rec.rn + 1)
+          SELECT source, doc_id, toks, block_id, block_pos FROM rec
+          ORDER BY source, doc_id"""
+
+  /** Training-mixture resampling
+    * ([[graft.text.Sampling.weightedResample]]): per-language epoch
+    * weights (en 0.5× / zh 2× / es 2.25× / de 0× / default 1×) applied
+    * as deterministic md5-fraction replication — floor(w) copies plus
+    * one more for the frac(w) hash-slice. Scan-stage row generation,
+    * no shuffle; the oracle replays bucket, weight CASE, and
+    * unnest(range(n)) exactly.
+    */
+  val qDomainMix: Q = (s, dir) =>
+    graft.text.Sampling
+      .weightedResample(
+        tbl(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 2.0, "es" -> 2.25, "de" -> 0.0), defaultWeight = 1.0)
+      .select(col("doc_id"), col("lang"), col("rep"))
+
+  val qDomainMixSql: String =
+    """WITH w AS (SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 WHEN 'es' THEN 2 WHEN 'de' THEN 0 ELSE 1 END
+         + CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT <
+             CASE lang WHEN 'en' THEN 2147483648 WHEN 'zh' THEN 0 WHEN 'es' THEN 1073741824 WHEN 'de' THEN 0 ELSE 0 END
+           THEN 1 ELSE 0 END AS n
+         FROM documents)
+       SELECT doc_id, lang, CAST(r AS INT) AS rep
+       FROM (SELECT doc_id, lang, unnest(range(0, n)) AS r FROM w WHERE n > 0)
+       ORDER BY doc_id, rep"""
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q3_join_topk" -> q3JoinTopK,
@@ -3549,7 +3691,11 @@ object QueryCatalog {
     "q_rag_prompt" -> qRagPrompt,
     "q_search_facade" -> qSearchFacade,
     "q_stream_backfill" -> qStreamBackfill,
-    "q_pipeline_e2e" -> qPipelineE2E
+    "q_pipeline_e2e" -> qPipelineE2E,
+    "q_semantic_dedup" -> qSemanticDedup,
+    "q_kmeans_step" -> qKmeansStep,
+    "q_pack_sequences" -> qPackSequences,
+    "q_domain_mix" -> qDomainMix
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3635,6 +3781,10 @@ object QueryCatalog {
     "q_rag_prompt" -> qRagPromptSql,
     "q_search_facade" -> qSearchFacadeSql,
     "q_stream_backfill" -> qStreamBackfillSql,
-    "q_pipeline_e2e" -> qPipelineE2ESql
+    "q_pipeline_e2e" -> qPipelineE2ESql,
+    "q_semantic_dedup" -> qSemanticDedupSql,
+    "q_kmeans_step" -> qKmeansStepSql,
+    "q_pack_sequences" -> qPackSequencesSql,
+    "q_domain_mix" -> qDomainMixSql
   )
 }

@@ -60,4 +60,55 @@ object Sampling {
       .filter(hashBucket(col(idCol)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** Domain/language MIXING with weights that may EXCEED 1: each row is
+    * replicated `floor(w)` times plus one more for the deterministic
+    * `frac(w)` hash-fraction of ids — so a stratum with weight 2.25 is
+    * exactly doubled and a deterministic quarter of it appears a third
+    * time, weight 0.5 is the plain downsample, weight 0 drops the
+    * stratum. The output carries `rep` (0-based copy index), so
+    * downstream shuffles see distinct (id, rep) keys rather than
+    * opaque duplicate rows.
+    *
+    * This is the standard training-mixture step (e.g. The Pile /
+    * Gopher publish per-domain epoch counts like 1.5 or 2.0 — exactly
+    * fractional repeat weights). Determinism matters the same way as
+    * in [[hashSample]]: the v3 mixture is recomputable row-by-row with
+    * no manifest, on any engine with md5. Scale shape: broadcast join
+    * of a #strata-row weight table + `explode(sequence(...))` — a
+    * scan-stage row generator, no shuffle; output size is exactly
+    * Σ w_s·|s| by construction, so the cost IS the output, never a
+    * blow-up. Weights are capped at 64 epochs — past that the caller
+    * is writing a bug, not a mixture.
+    */
+  def weightedResample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0
+  ): DataFrame = {
+    (weights.values ++ Seq(defaultWeight)).foreach { w =>
+      require(w >= 0.0 && w <= 64.0, s"weight $w out of [0, 64]")
+    }
+    def parts(w: Double): (Int, Long) = {
+      val base = math.floor(w).toInt
+      (base, thresholdOf(w - base))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thr = weights.toSeq
+      .map { case (k, w) => val (b, t) = parts(w); (k, b, t) }
+      .toDF(strataCol, "__base", "__thr")
+    val (db, dt) = parts(defaultWeight)
+    df.join(broadcast(thr), Seq(strataCol), "left")
+      .withColumn("__base", coalesce(col("__base"), lit(db)))
+      .withColumn("__thr", coalesce(col("__thr"), lit(dt)))
+      .withColumn(
+        "__n",
+        col("__base") + when(hashBucket(col(idCol)) < col("__thr"), 1).otherwise(0))
+      .filter(col("__n") > 0)
+      .withColumn("rep", explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__base", "__thr", "__n")
+  }
 }

@@ -49,4 +49,34 @@ class SamplingSpec extends SparkTestBase {
       s"fraction table should broadcast:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"), s"data side must not shuffle:\n$plan")
   }
+
+  test("weightedResample: integer weights replicate exactly, zero drops, rep is dense") {
+    val out = Sampling
+      .weightedResample(docs, "lang", "doc_id",
+        Map("en" -> 2.0, "zh" -> 0.0), defaultWeight = 1.0)
+      .collect()
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    assert(byLang("en") == 2 * totals("en"), "weight 2.0 doubles the stratum exactly")
+    assert(!byLang.contains("zh"), "weight 0 drops the stratum")
+    for (l <- totals.keySet -- Set("en", "zh"))
+      assert(byLang(l).toLong == totals(l), s"default weight 1.0 must be identity on $l")
+    // rep indices are dense 0..n-1 per id
+    out.groupBy(r => r.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val reps = rs.map(_.getAs[Int]("rep")).sorted
+      assert(reps === (0 until reps.length).toArray, s"non-dense rep for doc $id")
+    }
+  }
+
+  test("weightedResample: fractional weight adds the hashSample slice exactly") {
+    val out = Sampling
+      .weightedResample(docs, "lang", "doc_id", Map("en" -> 1.5), defaultWeight = 0.0)
+      .collect()
+    val extra = out.filter(_.getAs[Int]("rep") == 1).map(_.getAs[Long]("doc_id")).toSet
+    val en = docs.filter(col("lang") === "en")
+    val slice = Sampling.hashSample(en, "doc_id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(extra == slice, "the +0.5 copies must be exactly the 0.5 hash-sample members")
+    assert(out.count(_.getAs[Int]("rep") == 0) == en.count())
+  }
 }
