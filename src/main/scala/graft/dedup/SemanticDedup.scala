@@ -53,28 +53,23 @@ import org.apache.spark.sql.functions._
   */
 object SemanticDedup {
 
-  /** Nearest-pivot cluster id as ONE codegen'd projection: cosine to
-    * each pivot into an array, argmax = first position of the max
-    * (ties → the earliest pivot in `pivots` order, matching the
-    * oracle's ORDER BY cos DESC, pid ASC). Pivot ids are the array
-    * order; callers pass pivots already sorted by their id.
-    */
-  private def nearestPivotCluster(
-      vec: org.apache.spark.sql.Column,
-      pivots: Seq[Array[Float]]): org.apache.spark.sql.Column = {
-    val cosArr = array(pivots.map(p =>
-      VectorFunctions.cosineSimilarity(vec, typedLit(p.toSeq))): _*)
-    (array_position(cosArr, array_max(cosArr)) - 1).cast("int")
-  }
-
-  /** Label every row with its nearest pivot (cosine). `pivots` must be
-    * in cluster-id order (cluster i = pivots(i)). Shuffle-free.
+  /** Label every row with its nearest pivot (cosine) via the
+    * [[graft.functions.NearestPivotCosine]] codegen expression — one
+    * generated loop per row over the bound k × dim pivot matrix
+    * (argmax ties → the earliest pivot, matching the oracle's ORDER BY
+    * cos DESC, pid ASC). `pivots` must be in cluster-id order
+    * (cluster i = pivots(i)). Shuffle-free. An expression-tree
+    * formulation (k cosines under `greatest` + a `when` chain, or
+    * array_max/array_position) was measured ~8× slower per row: the
+    * former duplicates every cosine subtree into a method too large to
+    * JIT at test scale, the latter is CodegenFallback.
     */
   def assignClusters(
       df: DataFrame, vecCol: String, pivots: Seq[Array[Float]],
       clusterCol: String = "cluster"): DataFrame = {
     require(pivots.nonEmpty, "pivots must be non-empty")
-    df.withColumn(clusterCol, nearestPivotCluster(col(vecCol), pivots))
+    df.withColumn(clusterCol,
+      graft.functions.VectorExpressions.nearestPivotCosine(col(vecCol), pivots))
   }
 
   /** Within-cluster dominance filter shared by both variants: drop a

@@ -78,4 +78,34 @@ class VectorFunctionsSpec extends SparkTestBase {
       VectorFunctions.l2DistanceSq(lit(null).cast("array<float>"), col("embedding")).as("d"))
     assert(withNull.collect().forall(_.isNullAt(0)))
   }
+
+  test("NearestPivotCosine matches the expression-tree argmax bit-for-bit (ties to lowest)") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(300)
+    val pivots = e.filter(col("vec_id") < 6).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    // reference: greatest + first-match when chain over per-pivot cosines
+    val cosCols = pivots.map(p =>
+      VectorFunctions.cosineSimilarity(col("embedding"), typedLit(p.toSeq)))
+    val g = greatest(cosCols: _*)
+    val ref = cosCols.zipWithIndex.init.foldRight(lit(pivots.size - 1)) {
+      case ((c, i), rest) => when(c === g, lit(i)).otherwise(rest)
+    }
+    val both = e.select(
+      VectorExpressions.nearestPivotCosine(col("embedding"), pivots).as("fast"),
+      ref.as("ref"))
+    both.collect().foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // exact-duplicate pivot forces a tie: must pick the lower index
+    import spark.implicits._
+    val dupPivots = Seq(pivots.head, pivots(1), pivots.head)
+    val tied = Seq(Tuple1(pivots.head.toSeq)).toDF("embedding")
+      .select(VectorExpressions.nearestPivotCosine(col("embedding"), dupPivots).as("c"))
+      .head().getInt(0)
+    assert(tied == 0, s"tie must resolve to the lowest pivot index, got $tied")
+    // zero vector: deterministic last cluster
+    val z = Seq(Tuple1(Seq(0f, 0f))).toDF("embedding")
+      .select(VectorExpressions.nearestPivotCosine(col("embedding"),
+        Seq(Array(1f, 0f), Array(0f, 1f))).as("c"))
+      .head().getInt(0)
+    assert(z == 1)
+  }
 }
