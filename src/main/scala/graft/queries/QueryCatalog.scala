@@ -3608,6 +3608,59 @@ object QueryCatalog {
        FROM (SELECT doc_id, lang, unnest(range(0, n)) AS r FROM w WHERE n > 0)
        ORDER BY doc_id, rep"""
 
+  /** Unigram-LM cross-entropy quality signal
+    * ([[graft.text.TextAnalysis.unigramCrossEntropy]]): corpus-trained
+    * P(w), per-doc mean −log2 P — the CCNet-family perplexity filter's
+    * model-free floor. hotMin = 50 exercises BOTH routes of the
+    * frequency-partitioned join (broadcast head for hot types, shuffle
+    * join for the tail) on the driver corpus; the oracle recomputes
+    * counts, logs, and the mean from scratch — it is route-blind, so a
+    * green row also certifies the hybrid split is semantically
+    * invisible.
+    */
+  val qUnigramLogprob: Q = (s, dir) =>
+    graft.text.TextAnalysis
+      .unigramCrossEntropy(rebalanced(tbl(s, dir, "documents")), "doc_id", "text", hotMin = 50L)
+
+  val qUnigramLogprobSql: String =
+    raw"""WITH toks AS (
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+            FROM documents),
+          counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+          tot AS (SELECT sum(c) AS t FROM counts)
+          SELECT doc_id, count(*) AS n_tokens,
+                 round(avg(-ln(c * 1.0 / t) / ln(2)), 6) AS bits_per_token
+          FROM toks JOIN counts USING (tok) CROSS JOIN tot
+          GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Exact dedup over a BINARY multimodal column: md5 of real encoded
+    * PNG payloads as the duplicate key, keep-first via the
+    * hot-key-safe [[graft.dedup.Dedup.exactDedupAggJoin]] (a popular
+    * meme image is the multimodal hot key by construction). Payload
+    * dimensions are planted so doc_id % 25 fully determines the pixel
+    * content — 25 duplicate classes — and the oracle reduces to
+    * arithmetic on doc_id: a green row certifies the real PNG encoder
+    * is bit-deterministic (equal pixels ⇒ equal bytes ⇒ equal md5)
+    * AND the binary keep-first picks exactly the arithmetic winners.
+    */
+  val qMediaDedup: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val dims = rebalanced(tbl(s, dir, "documents").select(col("doc_id")))
+      .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(5))).cast("int"))
+      .withColumn("h", (lit(8) + pmod(col("doc_id"), lit(5))).cast("int"))
+      .withColumn("seed", pmod(col("doc_id"), lit(25)).cast("int"))
+    val png = Multimodal.withEncodedPng(dims, "w", "h", "seed")
+      .withColumn("k", md5(col("png")))
+    val kept = Dedup.exactDedupAggJoin(png, "k", Seq("doc_id"))
+      .select(col("doc_id").as("keep_id"), col("k"))
+    val copies = png.groupBy("k").agg(count(lit(1)).as("n_copies"))
+    kept.join(copies, "k").select("keep_id", "n_copies")
+  }
+
+  val qMediaDedupSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY doc_id % 25 ORDER BY keep_id"""
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q3_join_topk" -> q3JoinTopK,
@@ -3695,7 +3748,9 @@ object QueryCatalog {
     "q_semantic_dedup" -> qSemanticDedup,
     "q_kmeans_step" -> qKmeansStep,
     "q_pack_sequences" -> qPackSequences,
-    "q_domain_mix" -> qDomainMix
+    "q_domain_mix" -> qDomainMix,
+    "q_unigram_logprob" -> qUnigramLogprob,
+    "q_media_dedup" -> qMediaDedup
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3785,6 +3840,8 @@ object QueryCatalog {
     "q_semantic_dedup" -> qSemanticDedupSql,
     "q_kmeans_step" -> qKmeansStepSql,
     "q_pack_sequences" -> qPackSequencesSql,
-    "q_domain_mix" -> qDomainMixSql
+    "q_domain_mix" -> qDomainMixSql,
+    "q_unigram_logprob" -> qUnigramLogprobSql,
+    "q_media_dedup" -> qMediaDedupSql
   )
 }

@@ -228,4 +228,53 @@ object TextAnalysis {
 
   def fingerprint64(c: Column): Column =
     xxhash64(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  /** Unigram-LM cross-entropy per document — the CCNet-family quality
+    * signal (Wenzek et al. 2020 score web pages by LM perplexity; the
+    * corpus-trained unigram model is its distributed, model-free
+    * floor): train P(w) = count(w)/T on the corpus itself in one
+    * aggregate, then score each document by the mean negative log2
+    * probability of its tokens (bits/token). Atypical-vocabulary
+    * documents (gibberish, boilerplate, wrong-language) score HIGH;
+    * callers filter or bucket on the score.
+    *
+    * Returns (doc_id, n_tokens, bits_per_token), bits rounded at 6 dp
+    * (log/avg are IEEE-reproducible to well under that across
+    * engines).
+    *
+    * 100 TB shape — the interesting part is the frequency join. Token
+    * instances joined to a vocabulary-sized count table on the token
+    * string is the textbook SKEWED join: "the" appears in every
+    * document. Mitigation is frequency-partitioned routing, the
+    * broadcast-head/shuffle-tail hybrid: every type with count ≥
+    * `hotMin` goes into a BROADCAST map (by Zipf's law the head is
+    * tiny in types but covers almost all instances — exactly the rows
+    * that would have been skewed), and only TAIL types (rare by
+    * definition, so uniformly spread) take the shuffle join. The
+    * per-doc aggregate then partial-aggregates map-side, so no
+    * reducer ever sees a hot token's full instance stream. `hotMin`
+    * only moves work between the two paths — the result is invariant
+    * (spec-pinned by running both extremes).
+    */
+  def unigramCrossEntropy(
+      df: DataFrame, idCol: String, textCol: String, hotMin: Long = 1000L): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("doc_id"),
+      explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"), t => length(t) > 0))
+        .as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("t"))
+    val head = counts.filter(col("c") >= hotMin)
+    val tail = counts.filter(col("c") < hotMin)
+    val viaHead = toks.join(broadcast(head), Seq("tok"), "inner")
+    val viaTail = toks
+      .join(broadcast(head).select(col("tok")), Seq("tok"), "left_anti")
+      .join(tail, Seq("tok"))
+    val scored = viaHead.unionByName(viaTail)
+      .crossJoin(broadcast(total))
+      .withColumn("bits", -log(col("c").cast("double") / col("t").cast("double")) / math.log(2.0))
+    scored
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("bits")), 6).as("bits_per_token"))
+  }
 }

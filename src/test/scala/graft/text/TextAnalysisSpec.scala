@@ -137,4 +137,39 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.forall(q => q >= 0.0 && q <= 1.0))
     assert(got(0) > got(1))
   }
+
+  test("unigramCrossEntropy: hand-computed bits, route-invariant under hotMin") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b"),       // P(a)=3/6, P(b)=2/6, P(c)=1/6
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    def bits(p: Double) = -math.log(p) / math.log(2.0)
+    val expect1 = (bits(0.5) + bits(0.5) + bits(2.0 / 6)) / 3
+    val expect2 = (bits(0.5) + bits(2.0 / 6) + bits(1.0 / 6)) / 3
+    val allBroadcast = TextAnalysis.unigramCrossEntropy(df, "doc_id", "text", hotMin = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(allBroadcast(1L)._1 == 3 && allBroadcast(2L)._1 == 3)
+    assert(math.abs(allBroadcast(1L)._2 - expect1) < 1e-6, s"${allBroadcast(1L)._2} vs $expect1")
+    assert(math.abs(allBroadcast(2L)._2 - expect2) < 1e-6)
+    // every type through the SHUFFLE tail path must give identical rows
+    val allShuffle = TextAnalysis.unigramCrossEntropy(df, "doc_id", "text", hotMin = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(allBroadcast == allShuffle, "hotMin must only move work, never change the result")
+  }
+
+  test("unigramCrossEntropy on real docs: finite, positive, bounded by log2(T)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = TextAnalysis.unigramCrossEntropy(docs, "doc_id", "text", hotMin = 50L)
+    val rows = out.collect()
+    assert(rows.length == docs.count())
+    val t = rows.map(_.getLong(1)).sum.toDouble
+    rows.foreach { r =>
+      val b = r.getDouble(2)
+      assert(b > 0 && b <= math.log(t) / math.log(2.0) + 1e-9, s"bits out of range: $r")
+    }
+    // the hot head really broadcasts: plan carries a BroadcastHashJoin
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"head route should broadcast:\n$plan")
+  }
 }
