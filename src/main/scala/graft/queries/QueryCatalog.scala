@@ -3661,6 +3661,38 @@ object QueryCatalog {
     """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
        FROM documents GROUP BY doc_id % 25 ORDER BY keep_id"""
 
+  /** Hard-negative mining
+    * ([[graft.search.VectorSearch.hardNegatives]]): per query, the
+    * top-3 most-similar DIFFERENT-label vectors — the DPR training-set
+    * construction step. Scores rounded at 4 dp and fully replayed in
+    * DuckDB (same contract as q_knn_join, plus the label-exclusion
+    * predicate).
+    */
+  val qHardNegatives: Q = (s, dir) => {
+    val e = tbl(s, dir, "embeddings")
+    VectorSearch
+      .hardNegatives(
+        e.filter(col("vec_id") < 10), e, "vec_id", "vec_id", "label", "label", k = 3)
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(col("score"), 4).as("score"), col("rank"))
+  }
+
+  val qHardNegativesSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, label AS qlab, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))) AS s
+           FROM embeddings e, q WHERE e.label <> q.qlab AND e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, round(s, 4) AS score,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS INT) AS rank
+           FROM scored)
+       SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+       ORDER BY query_id, rank"""
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q3_join_topk" -> q3JoinTopK,
@@ -3750,7 +3782,8 @@ object QueryCatalog {
     "q_pack_sequences" -> qPackSequences,
     "q_domain_mix" -> qDomainMix,
     "q_unigram_logprob" -> qUnigramLogprob,
-    "q_media_dedup" -> qMediaDedup
+    "q_media_dedup" -> qMediaDedup,
+    "q_hard_negatives" -> qHardNegatives
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3842,6 +3875,7 @@ object QueryCatalog {
     "q_pack_sequences" -> qPackSequencesSql,
     "q_domain_mix" -> qDomainMixSql,
     "q_unigram_logprob" -> qUnigramLogprobSql,
-    "q_media_dedup" -> qMediaDedupSql
+    "q_media_dedup" -> qMediaDedupSql,
+    "q_hard_negatives" -> qHardNegativesSql
   )
 }

@@ -87,6 +87,50 @@ object VectorSearch {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Hard-negative mining for retrieval training (the DPR recipe,
+    * Karpukhin et al. 2020: the best negatives are the highest-scoring
+    * NON-relevant passages): for each query row, the top-k most
+    * cosine-similar corpus rows whose label differs from the query's —
+    * same-label rows are potential positives and are excluded, as is
+    * the query itself. Output (query_id, neighbor_id, score, rank).
+    *
+    * Shape = [[knnJoin]] with the exclusion pushed into the join: the
+    * query side broadcasts, the corpus streams once, the mismatch
+    * filter drops candidates BEFORE the scoring projection, and the
+    * per-query top-k window sees only survivors. At IVF altitude the
+    * same exclusion composes with cluster probing
+    * ([[IvfIndex.knnJoin]]) — mine negatives from the probed clusters
+    * only.
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      corpusIdCol: String,
+      queryLabelCol: String,
+      corpusLabelCol: String,
+      k: Int,
+      queryVecCol: String = "embedding",
+      corpusVecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(
+      col(queryIdCol).as("query_id"),
+      col(queryLabelCol).as("__qlab"),
+      col(queryVecCol).as("__qvec"))
+    val c = corpus.select(
+      col(corpusIdCol).as("neighbor_id"),
+      col(corpusLabelCol).as("__clab"),
+      col(corpusVecCol).as("__cvec"))
+    val scored = c
+      .join(broadcast(q), col("__clab") =!= col("__qlab") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosineSimilarity(col("__cvec"), col("__qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Range search (the Milvus `radius`/`range_filter` search mode the
     * reference's store exposes alongside top-k): every row whose
     * similarity to the query lies in [minScore, maxScore). Unlike

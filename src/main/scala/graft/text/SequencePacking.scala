@@ -71,6 +71,9 @@ object SequencePacking {
         var blockId = 0
         var blockPos = 0
         it.map { r =>
+          if (r.isNullAt(2) || r.isNullAt(3))
+            throw new IllegalArgumentException(
+              s"packGreedy requires non-null order and cost columns, got $r")
           val g = r.getString(0); val sh = r.getInt(1)
           val o = r.getLong(2); val c = r.getLong(3)
           if (g != curG || sh != curSh) { curG = g; curSh = sh; acc = 0L; blockId = 0; blockPos = 0 }

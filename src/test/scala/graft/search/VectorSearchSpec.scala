@@ -180,4 +180,35 @@ class VectorSearchSpec extends SparkTestBase {
     val scores = out.map(_.getDouble(2)).toSeq
     assert(scores == scores.sorted.reverse)
   }
+
+  test("hardNegatives excludes same-label and self, ranks by cosine") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val out = VectorSearch.hardNegatives(
+      e.filter(col("vec_id") < 4), e, "vec_id", "vec_id", "label", "label", k = 3)
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(n != q, "self must be excluded")
+      assert(labels(n) != labels(q), s"same-label neighbor leaked: $r")
+    }
+    // parity with brute force for one query
+    val q0 = e.filter(col("vec_id") === 0).head()
+    val q0vec = q0.getSeq[Float](1); val q0lab = q0.getInt(2)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) = x.zip(y).map { case (p, v) => p.toDouble * v.toDouble }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val expect = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      .filter { case (id, _, lab) => id != 0L && lab != q0lab }
+      .map { case (id, v, _) => (id, cos(q0vec, v)) }
+      .sortBy { case (id, s2) => (-s2, id) }.take(3).map(_._1).toSeq
+    val got = rows.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got == expect, s"$got vs $expect")
+  }
 }
