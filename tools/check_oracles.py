@@ -21,7 +21,31 @@ import multiprocessing as mp
 import os
 import sys
 
+# Cap glibc malloc arenas BEFORE duckdb loads: with 32 query threads the
+# per-thread arenas plus DuckDB's own buffer blocks fragment the address
+# space into >65k mappings, and once vm.max_map_count (default 65530) is
+# hit every further mmap fails — DuckDB reports it as "Out of Memory
+# Error: failed to allocate N bytes (bad allocation)" with >100GB of RAM
+# free (round-12 sf10 sweep: q_pipeline_e2e/q_search_facade died at
+# ~65.5k maps). Arena capping keeps the map count bounded; hosts running
+# the big sweeps should also raise the kernel limit
+# (sysctl -w vm.max_map_count=1048576, the same tuning Elasticsearch
+# documents).
+os.environ.setdefault("MALLOC_ARENA_MAX", "2")
+
 import duckdb
+
+
+def _warn_if_low_map_count():
+    try:
+        limit = int(open("/proc/sys/vm/max_map_count").read())
+        if limit < 262144:
+            print(f"WARN: vm.max_map_count={limit} is low; big-corpus "
+                  "oracles can die with spurious OOM (bad allocation) — "
+                  "raise it: sysctl -w vm.max_map_count=1048576",
+                  file=sys.stderr)
+    except OSError:
+        pass
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -81,6 +105,7 @@ def connect(sf_dir: str):
 
 
 def main(out_dir: str, sf_dir: str, skip_csv: str = "", timeout_sec: int = 0) -> int:
+    _warn_if_low_map_count()
     skip = set(filter(None, skip_csv.split(",")))
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_timeout = 0
