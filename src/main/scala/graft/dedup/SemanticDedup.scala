@@ -72,11 +72,13 @@ object SemanticDedup {
       graft.functions.VectorExpressions.nearestPivotCosine(col(vecCol), pivots))
   }
 
-  /** Within-cluster dominance filter shared by both variants: drop a
-    * row iff a smaller-id same-cluster row is ≥ tau-similar to it.
+  /** Within-cluster dominance filter: drop a row of `keep` iff a
+    * smaller-id row shares a bucket with it in `asg` and is ≥
+    * tau-similar. `asg` may carry MULTIPLE bucket rows per id
+    * (multi-probe) — a pair found in any shared bucket removes once.
     */
-  private def dropDominated(
-      asg: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
+  private def dropDominatedOn(
+      keep: DataFrame, asg: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
     val a = asg.select(col(idCol).as("__ida"), col(vecCol).as("__va"), col("cluster").as("__ca"))
     val b = asg.select(col(idCol).as("__idb"), col(vecCol).as("__vb"), col("cluster").as("__cb"))
     val removed = a
@@ -84,8 +86,12 @@ object SemanticDedup {
         VectorFunctions.cosineSimilarity(col("__va"), col("__vb")) >= tau)
       .select(col("__idb").as(idCol))
       .distinct()
-    asg.join(removed, Seq(idCol), "left_anti")
+    keep.join(removed, Seq(idCol), "left_anti")
   }
+
+  private def dropDominated(
+      asg: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame =
+    dropDominatedOn(asg, asg, idCol, vecCol, tau)
 
   /** SemDeDup with caller-supplied pivots: returns the SURVIVORS
     * (all input columns + `cluster`). A row is dropped iff a
@@ -98,15 +104,30 @@ object SemanticDedup {
 
   /** SemDeDup with k-means-trained pivots (production path; k should
     * grow with the corpus so cluster population stays bounded).
-    * Cluster labels come straight from the k-means transform — no
-    * re-assignment pass.
+    *
+    * Above `hierarchicalAbove` clusters the trainer switches to
+    * two-level k-means ([[graft.search.HierarchicalKMeans]]): flat
+    * Lloyd is n·k work per iteration — n²/TARGET once k ∝ n — while
+    * the two-level form is n·√k for both training and assignment.
+    * tools/SemDedupProbe measured the flat path 78 s at 200k vectors
+    * (fit-dominated, 22.8× across a 10× decade) vs seconds
+    * hierarchical; same dominance-filter semantics either way.
     */
   def semanticDedupAuto(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, tau: Double, seed: Long = 42L): DataFrame = {
-    val cfg = graft.model.IndexConfig.default.copy(nlist = k)
-    val (labeled, _) = graft.search.IvfIndex.build(df, vecCol, cfg, seed)
-    dropDominated(labeled.withColumnRenamed("cluster_id", "cluster"), idCol, vecCol, tau)
+      k: Int, tau: Double, seed: Long = 42L,
+      hierarchicalAbove: Int = 256, probes: Int = 2): DataFrame = {
+    if (k > hierarchicalAbove) {
+      val model = graft.search.HierarchicalKMeans.train(df, vecCol, k, seed = seed)
+      val primary = graft.search.HierarchicalKMeans.assign(df, vecCol, model)
+      val probed = graft.search.HierarchicalKMeans
+        .assignMulti(df, vecCol, model, math.min(probes, model.cells.size))
+      dropDominatedOn(primary, probed, idCol, vecCol, tau)
+    } else {
+      val cfg = graft.model.IndexConfig.default.copy(nlist = k)
+      val (l, _) = graft.search.IvfIndex.build(df, vecCol, cfg, seed)
+      dropDominated(l.withColumnRenamed("cluster_id", "cluster"), idCol, vecCol, tau)
+    }
   }
 
   /** ONE exact Lloyd step from the supplied pivots: assign every row

@@ -487,6 +487,273 @@ case class NearestPivotCosine(child: Expression, pivots: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** Top-`n` nearest pivots by cosine, as an int array in rank order —
+  * the multi-probe variant of [[NearestPivotCosine]] (same matrix
+  * binding, same tie-to-lowest contract at equal cosine). Rows
+  * exploded over these probes meet in EVERY shared bucket, the OR
+  * pattern that recovers cluster-boundary near-dup pairs a single
+  * hard assignment splits. Zero vectors return [k-1, k-2, …].
+  */
+case class TopPivotsCosine(child: Expression, pivots: Seq[Seq[Float]], n: Int)
+    extends UnaryExpression {
+
+  require(pivots.nonEmpty, "pivots must be non-empty")
+  require(n >= 1 && n <= pivots.size, s"n must be in [1, ${pivots.size}], got $n")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"top_pivots needs array<float|double>, got $t")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val matrix: Array[Array[Float]] = pivots.map(_.toArray).toArray
+  @transient private lazy val pivotNorms: Array[Double] = matrix.map { p =>
+    var s = 0.0; var i = 0
+    while (i < p.length) { s += p(i).toDouble * p(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    val f = isFloat
+    var vn = 0.0
+    var i = 0
+    while (i < nv) {
+      val x = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+      vn += x * x
+      i += 1
+    }
+    val out = new Array[Int](n)
+    if (vn == 0.0) {
+      var s = 0
+      while (s < n) { out(s) = matrix.length - 1 - s; s += 1 }
+      return UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    val vnorm = math.sqrt(vn)
+    val bestCos = Array.fill(n)(Double.NegativeInfinity)
+    java.util.Arrays.fill(out, matrix.length - 1)
+    var j = 0
+    while (j < matrix.length) {
+      val p = matrix(j)
+      val m = math.min(nv, p.length)
+      var d = 0.0
+      var k = 0
+      while (k < m) {
+        val x = if (f) v.getFloat(k).toDouble else v.getDouble(k)
+        d += x * p(k).toDouble
+        k += 1
+      }
+      val cos = d / (vnorm * pivotNorms(j))
+      // insertion into the top-n (strict >: ties keep the earlier pivot)
+      var s = 0
+      var done = false
+      while (s < n && !done) {
+        if (cos > bestCos(s)) {
+          var t = n - 1
+          while (t > s) { bestCos(t) = bestCos(t - 1); out(t) = out(t - 1); t -= 1 }
+          bestCos(s) = cos; out(s) = j
+          done = true
+        }
+        s += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val m = ctx.addReferenceObj("topPivotMatrix", matrix, "float[][]")
+    val pn = ctx.addReferenceObj("topPivotNorms", pivotNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val nv = ctx.freshName("nv")
+      val vn = ctx.freshName("vn")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      val bc = ctx.freshName("bc")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val t = ctx.freshName("t")
+      val cos = ctx.freshName("cos")
+      val vnorm = ctx.freshName("vnorm")
+      val lim = ctx.freshName("lim")
+      val done = ctx.freshName("done")
+      s"""
+         |int $nv = $v.numElements();
+         |double $vn = 0.0;
+         |for (int $i = 0; $i < $nv; $i++) {
+         |  double $x = (double) $v.$get($i);
+         |  $vn += $x * $x;
+         |}
+         |int[] $out = new int[$n];
+         |if ($vn == 0.0) {
+         |  for (int $s = 0; $s < $n; $s++) $out[$s] = $m.length - 1 - $s;
+         |} else {
+         |  double[] $bc = new double[$n];
+         |  java.util.Arrays.fill($bc, Double.NEGATIVE_INFINITY);
+         |  java.util.Arrays.fill($out, $m.length - 1);
+         |  double $vnorm = Math.sqrt($vn);
+         |  for (int $j = 0; $j < $m.length; $j++) {
+         |    float[] $p = $m[$j];
+         |    int $lim = Math.min($nv, $p.length);
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $lim; $i++) {
+         |      $d += ((double) $v.$get($i)) * ((double) $p[$i]);
+         |    }
+         |    double $cos = $d / ($vnorm * $pn[$j]);
+         |    boolean $done = false;
+         |    for (int $s = 0; $s < $n && !$done; $s++) {
+         |      if ($cos > $bc[$s]) {
+         |        for (int $t = $n - 1; $t > $s; $t--) { $bc[$t] = $bc[$t-1]; $out[$t] = $out[$t-1]; }
+         |        $bc[$s] = $cos; $out[$s] = $j;
+         |        $done = true;
+         |      }
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Cell-local nearest-pivot: like [[NearestPivotCosine]] but the pivot
+  * matrix is selected PER ROW by a cell id from a bound 3-D array of
+  * matrices — the level-2 assignment step of hierarchical k-means
+  * (each level-1 cell owns its own sub-centroid matrix, the way a
+  * two-level IVF/IMI trains a large nlist without an n × nlist
+  * assignment pass). Returns the sub-pivot index within the row's
+  * cell; same cosine/argmax/tie contract as [[NearestPivotCosine]].
+  * A cell id outside [0, #cells) or a zero vector lands in the LAST
+  * sub-pivot of the clamped cell.
+  */
+case class GroupedNearestPivotCosine(
+    left: Expression, right: Expression, matrices: Seq[Seq[Seq[Float]]])
+    extends BinaryExpression {
+
+  require(matrices.nonEmpty && matrices.forall(_.nonEmpty), "matrices must be non-empty")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(s"grouped_nearest_pivot needs (array<float|double>, int), got $l / $r")
+  }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val mats: Array[Array[Array[Float]]] =
+    matrices.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val matNorms: Array[Array[Double]] = mats.map(_.map { p =>
+    var s = 0.0; var i = 0
+    while (i < p.length) { s += p(i).toDouble * p(i).toDouble; i += 1 }
+    math.sqrt(s)
+  })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cell0 = b.asInstanceOf[Int]
+    val cell = math.min(math.max(cell0, 0), mats.length - 1)
+    val m = mats(cell); val pn = matNorms(cell)
+    val nv = v.numElements()
+    val f = isFloat
+    var vn = 0.0
+    var i = 0
+    while (i < nv) {
+      val x = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+      vn += x * x
+      i += 1
+    }
+    if (vn == 0.0) return m.length - 1
+    val vnorm = math.sqrt(vn)
+    var best = Double.NegativeInfinity
+    var bi = m.length - 1
+    var j = 0
+    while (j < m.length) {
+      val p = m(j)
+      val n = math.min(nv, p.length)
+      var d = 0.0
+      var kk = 0
+      while (kk < n) {
+        val x = if (f) v.getFloat(kk).toDouble else v.getDouble(kk)
+        d += x * p(kk).toDouble
+        kk += 1
+      }
+      val cos = d / (vnorm * pn(j))
+      if (cos > best) { best = cos; bi = j }
+      j += 1
+    }
+    bi
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val ms = ctx.addReferenceObj("groupedPivotMats", mats, "float[][][]")
+    val pns = ctx.addReferenceObj("groupedPivotNorms", matNorms, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, cellIn) => {
+      val cell = ctx.freshName("cell")
+      val m = ctx.freshName("m")
+      val pn = ctx.freshName("pn")
+      val nv = ctx.freshName("nv")
+      val vn = ctx.freshName("vn")
+      val x = ctx.freshName("x")
+      val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val cos = ctx.freshName("cos")
+      val vnorm = ctx.freshName("vnorm")
+      val lim = ctx.freshName("lim")
+      s"""
+         |int $cell = Math.min(Math.max($cellIn, 0), $ms.length - 1);
+         |float[][] $m = $ms[$cell];
+         |double[] $pn = $pns[$cell];
+         |int $nv = $v.numElements();
+         |double $vn = 0.0;
+         |for (int $i = 0; $i < $nv; $i++) {
+         |  double $x = (double) $v.$get($i);
+         |  $vn += $x * $x;
+         |}
+         |int $bi = $m.length - 1;
+         |if ($vn != 0.0) {
+         |  double $vnorm = Math.sqrt($vn);
+         |  double $best = Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $m.length; $j++) {
+         |    float[] $p = $m[$j];
+         |    int $lim = Math.min($nv, $p.length);
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $lim; $i++) {
+         |      $d += ((double) $v.$get($i)) * ((double) $p[$i]);
+         |    }
+         |    double $cos = $d / ($vnorm * $pn[$j]);
+         |    if ($cos > $best) { $best = $cos; $bi = $j; }
+         |  }
+         |}
+         |${ev.value} = $bi;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -507,6 +774,17 @@ object VectorExpressions {
   /** Column wrapper for [[NearestPivotCosine]]. */
   def nearestPivotCosine(vec: Column, pivots: Seq[Array[Float]]): Column =
     GraftBridge.column(NearestPivotCosine(GraftBridge.expression(vec), pivots.map(_.toSeq)))
+
+  /** Column wrapper for [[TopPivotsCosine]]. */
+  def topPivotsCosine(vec: Column, pivots: Seq[Array[Float]], n: Int): Column =
+    GraftBridge.column(TopPivotsCosine(GraftBridge.expression(vec), pivots.map(_.toSeq), n))
+
+  /** Column wrapper for [[GroupedNearestPivotCosine]]. */
+  def groupedNearestPivotCosine(
+      vec: Column, cell: Column, matrices: Seq[Seq[Array[Float]]]): Column =
+    GraftBridge.column(GroupedNearestPivotCosine(
+      GraftBridge.expression(vec), GraftBridge.expression(cell),
+      matrices.map(_.map(_.toSeq))))
 
   /** Column wrapper for [[Sq8Encode]]. */
   def sq8Encode(vec: Column, mns: Column, mxs: Column): Column =

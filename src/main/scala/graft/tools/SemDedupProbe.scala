@@ -30,9 +30,17 @@ object SemDedupProbe {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = e.count()
       val k = math.max(4, (n / Target).toInt)
-      val cfg = graft.model.IndexConfig.default.copy(nlist = k)
-      val (labeled, _) = graft.search.IvfIndex.build(e, "embedding", cfg)
-      val pairs = labeled.groupBy("cluster_id").count()
+      // pair volume over the buckets the dedup join actually uses
+      val labeled =
+        if (k > 256) {
+          val model = graft.search.HierarchicalKMeans.train(e, "embedding", k)
+          graft.search.HierarchicalKMeans.assign(e, "embedding", model)
+        } else {
+          val cfg = graft.model.IndexConfig.default.copy(nlist = k)
+          graft.search.IvfIndex.build(e, "embedding", cfg)._1
+            .withColumnRenamed("cluster_id", "cluster")
+        }
+      val pairs = labeled.groupBy("cluster").count()
         .agg(sum(col("count") * (col("count") - 1) / 2)).head().getDouble(0)
       val t0 = System.nanoTime()
       val survivors = SemanticDedup

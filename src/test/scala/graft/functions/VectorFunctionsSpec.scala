@@ -108,4 +108,49 @@ class VectorFunctionsSpec extends SparkTestBase {
       .head().getInt(0)
     assert(z == 1)
   }
+
+  test("TopPivotsCosine: rank order matches brute force; head equals NearestPivotCosine") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(200)
+    val pivots = e.filter(col("vec_id") < 6).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val rows = e.select(
+      col("vec_id"), col("embedding"),
+      VectorExpressions.topPivotsCosine(col("embedding"), pivots, 3).as("top3"),
+      VectorExpressions.nearestPivotCosine(col("embedding"), pivots).as("best")).collect()
+    def cos(a: Seq[Float], b: Array[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b.toSeq) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b.toSeq, b.toSeq)))
+    }
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val got = r.getSeq[Int](2)
+      val expect = pivots.zipWithIndex
+        .map { case (p, i) => (i, cos(v, p)) }
+        .sortBy { case (i, c) => (-c, i) }.take(3).map(_._1)
+      assert(got == expect, s"vec ${r.getLong(0)}: $got vs $expect")
+      assert(got.head == r.getInt(3), "head of top-n must equal the single argmax")
+    }
+  }
+
+  test("GroupedNearestPivotCosine equals per-cell NearestPivotCosine") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(150)
+    val mats = (0 until 3).map { c =>
+      e.filter(col("vec_id") >= c * 4 && col("vec_id") < c * 4 + 3).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    }
+    val withCell = e.withColumn("cell", (col("vec_id") % 3).cast("int"))
+    val got = withCell.select(
+      col("vec_id"), col("cell"),
+      VectorExpressions.groupedNearestPivotCosine(col("embedding"), col("cell"), mats).as("sub"),
+      col("embedding")).collect()
+    got.foreach { r =>
+      val cell = r.getInt(1)
+      val single = spark.createDataFrame(java.util.List.of(r), r.schema)
+      // per-cell reference: run NearestPivotCosine with just that cell's matrix
+      val ref = single.select(
+        VectorExpressions.nearestPivotCosine(col("embedding"), mats(cell)).as("s"))
+        .head().getInt(0)
+      assert(r.getInt(2) == ref, s"vec ${r.getLong(0)} cell $cell")
+    }
+  }
 }
