@@ -110,4 +110,18 @@ object QualityMonitor {
   /** G9 — seeded random sample of n rows for review (quality_monitor.py:143-158). */
   def sampleReview(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed)).limit(n)
+
+  /** G9, reproducible form: top-n by md5 of the id — the engine's
+    * deterministic analog of the reference's seeded `random.sample`.
+    * `rand(seed)` is seed-deterministic only for a FIXED partition
+    * layout (each task reseeds from the partition index), so the
+    * sampled set silently changes with cluster size or AQE coalescing;
+    * the md5 order is a pure function of the data, identical on any
+    * engine — which is what lets the driver's DuckDB oracle replay the
+    * sample exactly, and what lets a reviewer re-pull the same sample
+    * months later. Plan shape: TakeOrderedAndProject (per-partition
+    * heaps of n, driver merge) — no global sort.
+    */
+  def sampleReviewByHash(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
 }

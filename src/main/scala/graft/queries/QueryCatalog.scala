@@ -3693,6 +3693,25 @@ object QueryCatalog {
        SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
        ORDER BY query_id, rank"""
 
+  /** G9 sample-review, driver-graded at last: the reference's seeded
+    * `random.sample` review set (quality_monitor.py:143-158) in the
+    * engine's reproducible form —
+    * [[graft.quality.QualityMonitor.sampleReviewByHash]] (top-n by md5
+    * of the id; `rand(seed)` is partition-layout-dependent and was
+    * spec-only for that reason). TakeOrderedAndProject plan, review
+    * stats attached.
+    */
+  val qSampleReview: Q = (s, dir) =>
+    graft.quality.QualityMonitor
+      .sampleReviewByHash(tbl(s, dir, "documents"), "doc_id", 10)
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        length(col("text")).as("text_len"))
+
+  val qSampleReviewSql: String =
+    """SELECT doc_id, lang, source, n_chars, CAST(length(text) AS INT) AS text_len
+       FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 10"""
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q3_join_topk" -> q3JoinTopK,
@@ -3783,7 +3802,8 @@ object QueryCatalog {
     "q_domain_mix" -> qDomainMix,
     "q_unigram_logprob" -> qUnigramLogprob,
     "q_media_dedup" -> qMediaDedup,
-    "q_hard_negatives" -> qHardNegatives
+    "q_hard_negatives" -> qHardNegatives,
+    "q_sample_review" -> qSampleReview
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3876,6 +3896,7 @@ object QueryCatalog {
     "q_domain_mix" -> qDomainMixSql,
     "q_unigram_logprob" -> qUnigramLogprobSql,
     "q_media_dedup" -> qMediaDedupSql,
-    "q_hard_negatives" -> qHardNegativesSql
+    "q_hard_negatives" -> qHardNegativesSql,
+    "q_sample_review" -> qSampleReviewSql
   )
 }

@@ -135,4 +135,14 @@ class QualityMonitorSpec extends SparkTestBase {
     val cv = df.agg(round(QualityMonitor.coefficientOfVariation(col("t")), 4)).head().getDouble(0)
     assert(cv == 44.7214) // 1.118/2.5*100
   }
+
+  test("sampleReviewByHash is partition-layout-independent (unlike rand(seed))") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val a = QualityMonitor.sampleReviewByHash(docs, "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = QualityMonitor.sampleReviewByHash(docs.repartition(13), "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "the review sample must not depend on partitioning")
+    assert(a.distinct.size == 10)
+  }
 }
