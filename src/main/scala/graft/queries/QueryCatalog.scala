@@ -3712,6 +3712,52 @@ object QueryCatalog {
     """SELECT doc_id, lang, source, n_chars, CAST(length(text) AS INT) AS text_len
        FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 10"""
 
+  /** REAL image transform end-to-end
+    * ([[graft.multimodal.Multimodal.withResizedPng]]): encode genuine
+    * PNGs, nearest-neighbor half-scale them (decode → sample
+    * out(x,y) = in(2x,2y) → re-encode), then decode the RESIZED
+    * payloads for stats. The oracle recomputes the resized means from
+    * the pixel formula at (2x, 2y) — green certifies two full trips
+    * through the real codec plus the transform arithmetic.
+    */
+  val qImageResize: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val dims = rebalanced(tbl(s, dir, "documents").select(col("doc_id")))
+      .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(9))).cast("int"))
+      .withColumn("h", (lit(8) + pmod(col("doc_id") * 3, lit(7))).cast("int"))
+      .withColumn("seed", pmod(col("doc_id"), lit(1000)).cast("int"))
+    val png = Multimodal.withEncodedPng(dims, "w", "h", "seed")
+    val small = Multimodal.withResizedPng(png, "png")
+    Multimodal.withImageStats(small.drop("png"), "png_small")
+      .select(
+        col("doc_id"),
+        col("img_width"), col("img_height"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+  }
+
+  val qImageResizeSql: String =
+    """WITH dims AS (
+         SELECT doc_id,
+                CAST((8 + doc_id % 9) // 2 AS INT) AS w2,
+                CAST((8 + (doc_id * 3) % 7) // 2 AS INT) AS h2,
+                CAST(doc_id % 1000 AS INT) AS seed
+         FROM documents),
+       px AS (SELECT doc_id, w2, h2, seed, unnest(range(0, w2)) AS x FROM dims),
+       pxy AS (SELECT doc_id, w2, h2, seed, x, unnest(range(0, h2)) AS y FROM px),
+       sums AS (
+         SELECT doc_id, any_value(w2) AS w2, any_value(h2) AS h2,
+                sum((2 * x * 31 + 2 * y * 17 + seed) % 256) AS sr,
+                sum((2 * x * 7 + 2 * y * 13 + 2 * seed) % 256) AS sg,
+                sum((2 * x * 3 + 2 * y * 29 + 5 * seed) % 256) AS sb
+         FROM pxy GROUP BY doc_id)
+       SELECT doc_id, w2 AS img_width, h2 AS img_height,
+              round(sr / (w2 * h2 * 1.0), 4) AS mean_r,
+              round(sg / (w2 * h2 * 1.0), 4) AS mean_g,
+              round(sb / (w2 * h2 * 1.0), 4) AS mean_b
+       FROM sums ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q3_join_topk" -> q3JoinTopK,
@@ -3803,7 +3849,8 @@ object QueryCatalog {
     "q_unigram_logprob" -> qUnigramLogprob,
     "q_media_dedup" -> qMediaDedup,
     "q_hard_negatives" -> qHardNegatives,
-    "q_sample_review" -> qSampleReview
+    "q_sample_review" -> qSampleReview,
+    "q_image_resize" -> qImageResize
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3897,6 +3944,7 @@ object QueryCatalog {
     "q_unigram_logprob" -> qUnigramLogprobSql,
     "q_media_dedup" -> qMediaDedupSql,
     "q_hard_negatives" -> qHardNegativesSql,
-    "q_sample_review" -> qSampleReviewSql
+    "q_sample_review" -> qSampleReviewSql,
+    "q_image_resize" -> qImageResizeSql
   )
 }

@@ -159,4 +159,19 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("length")).toSeq == Seq(128L, 256L))
     assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
   }
+
+  test("resizeNearestHalf: closed-form parity and exact halving") {
+    val png = Multimodal.ImageCodec.encodePng(10, 9, seed = 7)
+    val small = Multimodal.ImageCodec.resizeNearestHalf(png)
+    val s2 = Multimodal.ImageCodec.decodeStats(small)
+    assert(s2.width == 5 && s2.height == 4)
+    // closed form: resized pixel (x,y) = formula(2x, 2y, seed)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until 4; x <- 0 until 5) {
+      sr += Multimodal.ImageCodec.pixelR(2 * x, 2 * y, 7)
+      sg += Multimodal.ImageCodec.pixelG(2 * x, 2 * y, 7)
+      sb += Multimodal.ImageCodec.pixelB(2 * x, 2 * y, 7)
+    }
+    assert(s2.meanR == sr / 20.0 && s2.meanG == sg / 20.0 && s2.meanB == sb / 20.0)
+  }
 }
