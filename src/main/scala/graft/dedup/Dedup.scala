@@ -1206,4 +1206,64 @@ object Dedup {
       .filter(col("cosine") >= cosineThreshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Duplicate-SPAN scrubbing — the token-granular half of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022, ExactSubstr): instead of dropping whole
+    * documents, remove every token covered by an n-gram that occurs
+    * more than once in the corpus (boilerplate headers, license
+    * blocks, templated sentences vanish from EVERY copy, including
+    * the first). Returns (doc_id, clean_text, n_removed) — clean_text
+    * is the surviving token stream (lowercased, single-spaced; the
+    * same normalization every gram operator here uses), "" when a doc
+    * is scrubbed entirely.
+    *
+    * 100 TB shape: gram counting is ONE map-side-combinable aggregate;
+    * duplicated-gram membership is a semi-join on the gram string; the
+    * covered-position set is a distinct (doc, pos) aggregate; and the
+    * rebuild is a per-document collect_list (bounded by document
+    * length — the operator's natural granularity). No windows, no
+    * all-pairs: a boilerplate gram shared by 10^8 documents costs one
+    * reduced count row plus its own occurrences, never a funnel.
+    * ExactSubstr proper uses a corpus suffix array to catch arbitrary-
+    * length duplicates ≥ 50 tokens; fixed-n grams are its bounded,
+    * join-expressible form — any duplicated span ≥ n tokens is fully
+    * covered by its n-windows, shorter ones are deliberately kept.
+    */
+  def scrubDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val arrs = df.select(
+      col(idCol).as("doc_id"),
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"), t => length(t) > 0).as("a"))
+    val grams = arrs
+      .filter(size(col("a")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("a")) - (n - 1)),
+          i => struct(i.as("start"), concat_ws(" ", slice(col("a"), i, lit(n))).as("g")))).as("sg"))
+      .select(col("doc_id"), col("sg.start").as("start"), col("sg.g").as("g"))
+    val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")
+    val covered = grams
+      .join(dupGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = arrs
+      .select(col("doc_id"), posexplode(col("a")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val rebuilt = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))), s => s("tok")))
+          .as("__ct"),
+        count(lit(1)).as("__nk"))
+    arrs
+      .select(col("doc_id"), size(col("a")).cast("long").as("__nt"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("__ct"), lit("")).as("clean_text"),
+        (col("__nt") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
+  }
 }

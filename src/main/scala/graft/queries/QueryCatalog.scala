@@ -3758,6 +3758,42 @@ object QueryCatalog {
               round(sb / (w2 * h2 * 1.0), 4) AS mean_b
        FROM sums ORDER BY doc_id"""
 
+  /** Duplicate-span scrubbing
+    * ([[graft.dedup.Dedup.scrubDuplicateSpans]]): every token covered
+    * by a corpus-duplicated 8-gram is removed from EVERY occurrence —
+    * the token-granular ExactSubstr recipe (Lee et al. 2022) as
+    * aggregates and semi-joins. The oracle rebuilds the scrubbed
+    * token stream from scratch (gram counting, span cover, ordered
+    * string_agg) and must match string-for-string.
+    */
+  val qScrubSpans: Q = (s, dir) =>
+    Dedup.scrubDuplicateSpans(rebalanced(tbl(s, dir, "documents")), "doc_id", "text", n = 8)
+
+  val qScrubSpansSql: String =
+    raw"""WITH arrs AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS a
+            FROM documents),
+          grams AS (
+            SELECT doc_id, CAST(i AS INT) AS start, array_to_string(a[i:i+7], ' ') AS g
+            FROM arrs, unnest(range(1, len(a) - 6)) AS t(i)),
+          dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+          covered AS (
+            SELECT DISTINCT doc_id, start + CAST(o AS INT) AS pos
+            FROM grams JOIN dup USING (g), unnest(range(0, 8)) AS u(o)),
+          toks AS (
+            SELECT doc_id, tok, CAST(pos AS INT) AS pos FROM (
+              SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos FROM arrs)),
+          kept AS (
+            SELECT t.doc_id, t.tok, t.pos
+            FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.doc_id IS NULL),
+          reb AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct, count(*) AS nk
+            FROM kept GROUP BY doc_id)
+          SELECT a.doc_id, coalesce(r.ct, '') AS clean_text,
+                 len(a.a) - coalesce(r.nk, 0) AS n_removed
+          FROM arrs a LEFT JOIN reb r USING (doc_id) ORDER BY a.doc_id"""
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q3_join_topk" -> q3JoinTopK,
@@ -3850,7 +3886,8 @@ object QueryCatalog {
     "q_media_dedup" -> qMediaDedup,
     "q_hard_negatives" -> qHardNegatives,
     "q_sample_review" -> qSampleReview,
-    "q_image_resize" -> qImageResize
+    "q_image_resize" -> qImageResize,
+    "q_scrub_spans" -> qScrubSpans
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3945,6 +3982,7 @@ object QueryCatalog {
     "q_media_dedup" -> qMediaDedupSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_sample_review" -> qSampleReviewSql,
-    "q_image_resize" -> qImageResizeSql
+    "q_image_resize" -> qImageResizeSql,
+    "q_scrub_spans" -> qScrubSpansSql
   )
 }

@@ -559,4 +559,30 @@ class DedupSpec extends SparkTestBase {
     } yield (ia, ib)).toSet
     assert(want.nonEmpty && got == want, s"got ${got.size} want ${want.size}")
   }
+
+  test("scrubDuplicateSpans removes duplicated 8-gram cover from every copy, keeps order") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact us terms of service" // 8 tokens
+    val df = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"one two three $boiler"),
+      (3L, "totally unique words that never repeat anywhere else here"),
+      (4L, boiler) // fully covered -> scrubbed empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateSpans(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("alpha beta gamma delta", 8L))
+    assert(out(2L) == ("one two three", 8L))
+    assert(out(3L) == ("totally unique words that never repeat anywhere else here", 0L))
+    assert(out(4L) == ("", 8L))
+  }
+
+  test("scrubDuplicateSpans: within-doc repetition counts as duplication; overlaps union") {
+    import spark.implicits._
+    val span = "a b c d e f g h" // repeated twice in one doc
+    val df = Seq((1L, s"x $span y $span z")).toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateSpans(df, "doc_id", "text", n = 8).head()
+    assert(out.getString(1) == "x y z", out.getString(1))
+    assert(out.getLong(2) == 16L)
+  }
 }
