@@ -26,6 +26,18 @@ object SparkEntry {
   def prepare(spark: SparkSession, sfDir: String): Unit =
     QueryCatalog.prepare(spark, sfDir)
 
+  /** Rows that read the prepared in-memory index artifacts — Bench
+    * re-pins cache residency before timing these (see
+    * QueryCatalog.indexBackedQueries).
+    */
+  def indexBackedQueries: Set[String] = QueryCatalog.indexBackedQueries
+
+  /** Re-materialize evicted index-cache blocks; returns whether the
+    * caches were already fully resident.
+    */
+  def ensureIndexCaches(spark: SparkSession, sfDir: String): Boolean =
+    QueryCatalog.ensureIndexCaches(spark, sfDir)
+
   /** DuckDB-equivalent SQL for every SQL-expressible query; the
     * remainder (hash-seeded MinHash/SimHash, KMeans IVF, the recursive
     * chunker, the end-to-end pipeline) get rows-only checks and are

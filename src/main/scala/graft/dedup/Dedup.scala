@@ -858,22 +858,8 @@ object Dedup {
     * bounded at d+8: C(d+8, d) explosion already dominates any
     * realistic n there.
     */
-  def adaptiveSimHashBlocks(n: Long, maxHamming: Int = 3): Int = {
-    val d = maxHamming
-    def cost(b: Int): Double = {
-      val bounds = (0 to b).map(i => i * 64 / b)
-      val widths = (0 until b).map(i => bounds(i + 1) - bounds(i))
-      // combinations over INDICES: .combinations on the widths seq
-      // would merge equal widths into one multiset and undercount
-      val combos = (0 until b).combinations(b - d).toSeq
-      val explode = n.toDouble * combos.size
-      val fp = combos
-        .map(ss => n.toDouble * (n - 1) / 2 * math.pow(2.0, -ss.map(widths).sum))
-        .sum
-      explode + fp
-    }
-    (d + 1 to math.min(d + 8, 64)).minBy(cost)
-  }
+  def adaptiveSimHashBlocks(n: Long, maxHamming: Int = 3): Int =
+    graft.tune.AdaptiveKnobs.simHashBlocks(maxHamming)(n)
 
   /** SimHash near-dup pairs: split the 64-bit signature into `blocks`
     * near-equal segments and key candidates on every
@@ -957,11 +943,8 @@ object Dedup {
     * components (and 16M buckets already covers petabyte-scale counts
     * at the default target).
     */
-  def adaptiveSignBits(n: Long, targetBucketRows: Long = 4096L): Int = {
-    require(targetBucketRows > 0, "targetBucketRows must be positive")
-    val buckets = math.max(1.0, n.toDouble / targetBucketRows)
-    math.min(24, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
-  }
+  def adaptiveSignBits(n: Long, targetBucketRows: Long = 4096L): Int =
+    graft.tune.AdaptiveKnobs.signBits(targetBucketRows)(n)
 
   /** Sentinel for `signBits`: size the blocking key from a count of the
     * input via [[adaptiveSignBits]] (one extra scan — noise next to the

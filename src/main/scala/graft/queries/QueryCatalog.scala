@@ -2061,6 +2061,63 @@ object QueryCatalog {
     """SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src7'
        ORDER BY doc_id LIMIT 10"""
 
+  /** One dynamic-field store per sf dir: documents written through
+    * [[graft.store.VectorStore.writeCollectionDynamic]] with two ad-hoc
+    * columns OUTSIDE the fixed chunk schema (`n_chars`, `review_batch`)
+    * so they spill into the `extra` map on disk. Written once per JVM
+    * per sf, like ivfCollectionPathFor — the store layout is load-side
+    * work.
+    */
+  private val dynStorePathCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def dynStorePathFor(s: SparkSession, dir: String): String =
+    dynStorePathCache.getOrElseUpdate(
+      dir, {
+        val d = tbl(s, dir, "documents").select(
+          col("doc_id").cast("string").as("chunk_id"),
+          col("text"),
+          col("source"),
+          col("lang").as("language"),
+          // ad-hoc metadata not in Chunk.FixedFields → rides `extra`
+          col("n_chars"),
+          (col("doc_id") % 7).cast("string").as("review_batch"))
+        val out = java.nio.file.Files.createTempDirectory("graft-dyn-coll").toString
+        new graft.store.VectorStore(out).writeCollectionDynamic(d, "docs_dyn")
+        out
+      }
+    )
+
+  /** Dynamic-field overflow (reference `enable_dynamic_field=True`,
+    * milvus_store.py:65) graded END TO END through the store: ad-hoc
+    * columns are packed into `extra` by `writeCollectionDynamic`,
+    * survive the parquet round-trip, and come back out through
+    * [[graft.store.VectorStore.dynamicField]] — as a FILTER (the Milvus
+    * expr-on-JSON-field query shape) and as typed projections. The
+    * oracle replays the semantics from the raw table: green means the
+    * pack → store → read → extract chain loses nothing, absent keys
+    * read as NULL, and null-valued entries were dropped from the map
+    * (absent key == absent field, the reference's JSON semantics).
+    */
+  val qAttrDynamic: Q = (s, dir) => {
+    val store = new graft.store.VectorStore(dynStorePathFor(s, dir))
+    store
+      .readCollection(s, "docs_dyn")
+      .filter(graft.store.VectorStore.dynamicField("review_batch") === "3")
+      .select(
+        col("chunk_id").cast("long").as("doc_id"),
+        col("language"),
+        graft.store.VectorStore.dynamicField("n_chars").cast("long").as("n_chars"),
+        graft.store.VectorStore.dynamicField("review_batch").as("review_batch"),
+        graft.store.VectorStore.dynamicField("never_written").as("missing_field"))
+      .orderBy("doc_id")
+  }
+
+  val qAttrDynamicSql: String =
+    """SELECT doc_id, lang AS language, n_chars,
+              CAST(doc_id % 7 AS VARCHAR) AS review_batch,
+              CAST(NULL AS VARCHAR) AS missing_field
+       FROM documents WHERE doc_id % 7 = 3 ORDER BY doc_id"""
+
   val qTruncateProject: Q = (s, dir) => {
     val d = tbl(s, dir, "documents")
     d.select(
@@ -2665,6 +2722,48 @@ object QueryCatalog {
               'payload ' || min(event_id) AS text
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** [[graft.streaming.StreamingNearDup]] executed in BATCH-BACKFILL
+    * mode against a DuckDB oracle — the near-dup counterpart of
+    * q_stream_backfill (same contract: batch execution of the
+    * flatMapGroupsWithState operator the live stream runs, so backfill
+    * and stream share near-dup semantics; the MemoryStream suites pin
+    * the cross-micro-batch behavior).
+    *
+    * The corpus is PLANTED so the expected hit set is pure arithmetic:
+    * events keyed into n/10 groups (≈10 docs/group at every sf — group
+    * population is sf-invariant, so the maxPerBucket=64 FIFO cap never
+    * bites and the oracle holds at every decade), text = md5(group) —
+    * identical within a group (signature-estimate Jaccard exactly 1.0,
+    * every band collides), and cross-group 32-hex-char texts share
+    * ~0.2 expected 3-shingles out of a 4096 space (est ≪ 0.8 even if a
+    * band ever collided). Expected hits: every (later id, earlier id)
+    * pair within a group at est 1.0 — which is exactly the oracle's
+    * self-join. The per-batch cross-band dropDuplicates is the
+    * documented caller-side contract (StreamingNearDup class doc).
+    */
+  val qStreamNearDup: Q = (s, dir) => {
+    val ev = eventsRaw(s, dir).select("event_id")
+    val base = math.max(1L, ev.count() / 10L)
+    val docs = ev.select(
+      col("event_id").as("doc_id"),
+      md5(pmod(col("event_id"), lit(base)).cast("string")).as("text"))
+    graft.streaming.StreamingNearDup
+      .detect(docs, "doc_id", "text")
+      .toDF()
+      .dropDuplicates("id", "dup_of")
+      .select(col("id"), col("dup_of"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  val qStreamNearDupSql: String =
+    """WITH g AS (
+         SELECT event_id,
+                event_id % GREATEST(1, (SELECT count(*) // 10 FROM events)) AS grp
+         FROM events)
+       SELECT a.event_id AS id, b.event_id AS dup_of,
+              CAST(1.0 AS DOUBLE) AS est_jaccard
+       FROM g a JOIN g b ON a.grp = b.grp AND b.event_id < a.event_id
+       ORDER BY id, dup_of"""
+
   // ---------------------------------------------------------------
   // End-to-end pipeline (flagship spine; rows-only)
   // ---------------------------------------------------------------
@@ -3030,6 +3129,59 @@ object QueryCatalog {
   }
 
   val qPqRecallSql: String =
+    "SELECT CAST(10 AS INT) AS k, true AS recall_ok"
+
+  /** IVF×PQ artifacts per sf dir: the ivfIndexFor labeled corpus
+    * carrying codes from the pqIndexFor codebooks — cluster_id and
+    * pq_code on one table (the one-pass load-side layout
+    * ProductQuant.ivfAdcTopK documents). The expensive artifact (the
+    * m=16 KMeans codebook fit) is shared with q_pq_recall via
+    * pqIndexFor; only the encode pass runs again, over the labeled
+    * corpus.
+    */
+  private val ivfpqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, Array[Array[Array[Double]]], Array[Array[Float]])]
+
+  private def ivfpqIndexFor(
+      s: SparkSession, dir: String
+  ): (DataFrame, Array[Array[Array[Double]]], Array[Array[Float]]) =
+    ivfpqCache.getOrElseUpdate(
+      dir, {
+        val (labeled, centroids, _) = ivfIndexFor(s, dir)
+        val (_, cbs) = pqIndexFor(s, dir)
+        (ProductQuant.encode(labeled, cbs).cache(), cbs, centroids)
+      }
+    )
+
+  /** Recall@10 of the COMPOSED IVF×PQ search (probe nprobe clusters →
+    * ADC over probed rows only → shortlist sized to the probed
+    * population → exact re-rank) vs exact full-corpus search — the
+    * Milvus IVF_PQ index type. Same evidence contract as q_ivf_recall /
+    * q_pq_recall, but pinning the COMPOSITION: probe misses and code
+    * quantization stack multiplicatively, so neither flat row's green
+    * implies this one. The scale claim this row anchors: ADC scan AND
+    * rerank shortlist both shrink with nprobe/nlist, making the
+    * composed path sub-linear in n where flat PQ stays O(n)
+    * (measured against q_pq_recall in SCALE.md).
+    */
+  val qIvfPqRecall: Q = (s, dir) => {
+    val (enc, cbs, cents) = ivfpqIndexFor(s, dir)
+    val q = vecOf(s, dir, 0L)
+    val composed = ProductQuant
+      .ivfAdcTopK(enc, cbs, cents, q, 10, IvfQueryCfg.nprobe)
+      .select("vec_id")
+    val exact = enc
+      .withColumn("score", round(cosineSimilarity(col("embedding"), typedLit(q.toSeq)), 4))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+      .select("vec_id")
+    composed
+      .intersect(exact)
+      .agg(count(lit(1)).cast("int").as("overlap"))
+      .select(lit(10).as("k"), (col("overlap") >= 9).as("recall_ok"))
+  }
+
+  val qIvfPqRecallSql: String =
     "SELECT CAST(10 AS INT) AS k, true AS recall_ok"
 
   // ---------------------------------------------------------------
@@ -3463,7 +3615,34 @@ object QueryCatalog {
     labeled.count() // force the KMeans fit + radii pass + populate the cache
     val (encoded, _) = pqIndexFor(s, dir)
     encoded.count() // force the PQ fits + encode pass
+    val (ivfpq, _, _) = ivfpqIndexFor(s, dir)
+    ivfpq.count() // force the composed-layout encode pass
     ()
+  }
+
+  /** Catalog rows that read the PREPARED in-memory index artifacts
+    * (ivfCache / pqCache / ivfpqCache). Bench re-ensures residency
+    * right before timing these: the round-11 sf100 record showed
+    * q_pq_recall at 8.4 s in-batch vs 0.44–0.59 s isolated because the
+    * bench batch's own working set had LRU-evicted the encoded corpus
+    * between prepare and the query — a harness artifact, not a plan
+    * property, and it belongs outside the timed window.
+    */
+  val indexBackedQueries: Set[String] = Set(
+    "q_ivf_search", "q_ivf_recall", "q_ivf_knn_join", "q_ivf_rewrite",
+    "q_pq_recall", "q_ivfpq_recall")
+
+  /** Re-materialize any evicted blocks of the prepared index caches
+    * (a count over a partially-evicted cached DataFrame recomputes
+    * exactly the missing partitions). Returns whether every cached RDD
+    * was already fully resident, so the caller can record that an
+    * eviction actually happened rather than silently absorbing it.
+    */
+  def ensureIndexCaches(s: SparkSession, dir: String): Boolean = {
+    val fullyResident = s.sparkContext.getRDDStorageInfo
+      .forall(i => i.numCachedPartitions >= i.numPartitions)
+    prepare(s, dir)
+    fullyResident
   }
 
   /** Fixed pivot vectors for the semantic-dedup/k-means rows: the
@@ -3847,6 +4026,7 @@ object QueryCatalog {
     "q_range_search" -> qRangeSearch,
     "q_group_search" -> qGroupSearch,
     "q_pq_recall" -> qPqRecall,
+    "q_ivfpq_recall" -> qIvfPqRecall,
     "q_mmr_rerank" -> qMmrRerank,
     "q_multi_collection" -> qMultiCollection,
     "q_knn_join" -> qKnnJoin,
@@ -3864,6 +4044,7 @@ object QueryCatalog {
     "q_approx_quantile" -> qApproxQuantile,
     "q_interval_join" -> qIntervalJoin,
     "q_vector_mean" -> qVectorMean,
+    "q_attr_dynamic" -> qAttrDynamic,
     "q_truncate_project" -> qTruncateProject,
     "q_collection_name" -> qCollectionName,
     "q_media_features" -> qMediaFeatures,
@@ -3877,6 +4058,7 @@ object QueryCatalog {
     "q_rag_prompt" -> qRagPrompt,
     "q_search_facade" -> qSearchFacade,
     "q_stream_backfill" -> qStreamBackfill,
+    "q_stream_neardup" -> qStreamNearDup,
     "q_pipeline_e2e" -> qPipelineE2E,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_kmeans_step" -> qKmeansStep,
@@ -3943,6 +4125,7 @@ object QueryCatalog {
     "q_range_search" -> qRangeSearchSql,
     "q_group_search" -> qGroupSearchSql,
     "q_pq_recall" -> qPqRecallSql,
+    "q_ivfpq_recall" -> qIvfPqRecallSql,
     "q_mmr_rerank" -> qMmrRerankSql,
     "q_multi_collection" -> qMultiCollectionSql,
     "q_knn_join" -> qKnnJoinSql,
@@ -3960,6 +4143,7 @@ object QueryCatalog {
     "q_approx_quantile" -> qApproxQuantileSql,
     "q_interval_join" -> qIntervalJoinSql,
     "q_vector_mean" -> qVectorMeanSql,
+    "q_attr_dynamic" -> qAttrDynamicSql,
     "q_truncate_project" -> qTruncateProjectSql,
     "q_collection_name" -> qCollectionNameSql,
     "q_media_features" -> qMediaFeaturesSql,
@@ -3973,6 +4157,7 @@ object QueryCatalog {
     "q_rag_prompt" -> qRagPromptSql,
     "q_search_facade" -> qSearchFacadeSql,
     "q_stream_backfill" -> qStreamBackfillSql,
+    "q_stream_neardup" -> qStreamNearDupSql,
     "q_pipeline_e2e" -> qPipelineE2ESql,
     "q_semantic_dedup" -> qSemanticDedupSql,
     "q_kmeans_step" -> qKmeansStepSql,

@@ -48,7 +48,7 @@ object ProductQuant {
     * user doesn't tune must be the one that survives scale-up.
     */
   def adaptiveShortlist(n: Long, k: Int = 10): Int =
-    math.max(math.max(100, 5 * k), (n / 2000L).toInt)
+    graft.tune.AdaptiveKnobs.shortlist(k)(n)
 
   /** Per-subspace codebooks: codebooks(j)(c) is the ksub-entry
     * codebook's c-th centroid for subspace j (dsub doubles each).
@@ -180,5 +180,61 @@ object ProductQuant {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
       .drop("__adc")
+  }
+
+  /** IVF×PQ composed top-k — the Milvus IVF_PQ index type
+    * (config.py:22-27 exposes the index_type family; milvus_store.py:110-136
+    * builds IVF_FLAT, IVF_PQ is its memory-bound sibling): probe the
+    * `nprobe` nearest IVF clusters, ADC-score ONLY the probed rows, and
+    * size the exact-rerank shortlist to the PROBED population, not the
+    * corpus. Both factors that made the flat paths expensive shrink
+    * together: the ADC scan touches n·nprobe/nlist rows (partition
+    * pruning when the corpus is stored `partitionBy("cluster_id")`,
+    * VectorStore.writeIndexed), and the shortlist the exact re-rank
+    * must fetch raw vectors for is adaptiveShortlist(probed) instead of
+    * adaptiveShortlist(n) — sub-linear in n end to end while the flat
+    * ADC path stays O(n).
+    *
+    * `encodedLabeled` carries BOTH index artifacts on one table
+    * (`cluster_id` from [[IvfIndex.build]], `codeCol` from [[encode]]) —
+    * the one-pass "write cluster and code together at load time" layout
+    * a 100 TB store would use; search composes two broadcast-scale
+    * driver artifacts (centroids, codebooks) with one pruned scan.
+    *
+    * Recall contract: composed recall ≈ IVF recall × PQ recall — the
+    * probe set can miss what flat-PQ would keep and vice versa, so
+    * q_ivfpq_recall pins the composition (≥9/10 vs exact full-corpus
+    * search) independently of q_ivf_recall / q_pq_recall.
+    *
+    * `probedCount` ≥ 0 skips the sizing count job when the caller
+    * already knows the probed population (e.g. per-cluster stats from
+    * index build — at 100 TB the store keeps row counts per partition;
+    * the count here reads only pruned partitions either way).
+    */
+  def ivfAdcTopK(
+      encodedLabeled: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      centroids: Array[Array[Float]],
+      queryVec: Array[Float],
+      k: Int,
+      nprobe: Int,
+      probedCount: Long = -1L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      codeCol: String = "pq_code",
+      clusterCol: String = "cluster_id",
+      scoreRounding: Int = 4
+  ): DataFrame = {
+    val probes = IvfIndex.nearestClusters(queryVec, centroids, nprobe)
+    val pruned = encodedLabeled.filter(col(clusterCol).isin(probes: _*))
+    val probed =
+      if (probedCount >= 0L) probedCount
+      // column-pruned count over pruned partitions only — one cheap job
+      else pruned.select(col(idCol)).count()
+    adcTopK(
+      pruned, codebooks, queryVec, k,
+      shortlist = adaptiveShortlist(probed, k),
+      idCol = idCol, vecCol = vecCol, codeCol = codeCol,
+      scoreRounding = scoreRounding)
   }
 }

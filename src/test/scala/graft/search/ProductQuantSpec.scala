@@ -109,6 +109,50 @@ class ProductQuantSpec extends SparkTestBase {
     assert(scores.forall(s => math.abs(s * 1e4 - math.rint(s * 1e4)) < 1e-9))
   }
 
+  test("ivfAdcTopK composes probe+ADC+rerank and stays inside the probed clusters") {
+    import graft.model.IndexConfig
+    val cfg = IndexConfig(nlist = 16, nprobe = 12)
+    val (labeled0, centroids) = IvfIndex.build(emb, "embedding", cfg)
+    val labeled = labeled0.cache()
+    try {
+      val cbs = ProductQuant.fit(labeled, m = 16)
+      val enc = ProductQuant.encode(labeled, cbs).cache()
+      val q = emb.filter(col("vec_id") === 7).select("embedding").head().getSeq[Float](0).toArray
+      val out = ProductQuant.ivfAdcTopK(enc, cbs, centroids, q, 10, cfg.nprobe)
+      val ids = out.select("vec_id").collect().map(_.getLong(0)).toSeq
+      val probes = IvfIndex.nearestClusters(q, centroids, cfg.nprobe).toSet
+      // exact parity with the hand-composed path: prune → ADC with the
+      // shortlist sized to the PROBED population → rerank. (Full-corpus
+      // recall ≥9/10 is the driver row q_ivfpq_recall's claim at
+      // sf0.01; this tiny isotropic corpus sits below the scale where
+      // a 12/16 probe holds it.)
+      val probedDf = enc.filter(col("cluster_id").isin(probes.toSeq: _*))
+      val manual = ProductQuant
+        .adcTopK(probedDf, cbs, q, 10,
+          shortlist = ProductQuant.adaptiveShortlist(probedDf.count(), 10))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == manual)
+      // within the probed clusters the composed path recovers the
+      // exact probed-subset top-10 (same claim the IVFPQ-shape test
+      // makes, through the new API)
+      val exactSub = VectorSearch
+        .topK(probedDf.drop("pq_code"), q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert((ids.toSet intersect exactSub).size >= 9, s"$ids vs $exactSub")
+      // the scan never left the probe set
+      val clusters = out.select("cluster_id").collect().map(_.getInt(0)).toSet
+      assert(clusters.subsetOf(probes))
+      // a caller-supplied probedCount (per-partition stats at 100 TB)
+      // skips the count job and returns the identical ranking
+      val probed = probedDf.count()
+      val viaStats = ProductQuant
+        .ivfAdcTopK(enc, cbs, centroids, q, 10, cfg.nprobe, probedCount = probed)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(viaStats == ids)
+      enc.unpersist()
+    } finally { labeled.unpersist(); () }
+  }
+
   test("adaptiveShortlist keeps the probed fraction with the small-corpus floor") {
     // floor: small corpora keep the probed shortlist=100 (and never
     // under 5k for large k)
