@@ -47,19 +47,26 @@ object PiiScrub {
   /** Redact PII in a string column. */
   def scrub(text: Column): Column = RegexChain(text, Stages)
 
-  /** Bulk corpus scrubbing as a partition-batched, PATTERN-MAJOR pass.
+  /** Bulk corpus scrubbing with candidate-gated regex execution
+    * ([[PiiScan.Scrubber]]) — byte-identical output to [[scrub]]
+    * (differential-tested in PiiScanSpec: 5000 randomized digit-soup
+    * cases, targeted guard-consumption edge cases, and the full real
+    * corpus), ~13× the throughput of the raw 4-stage replaceAll chain
+    * at 32 threads (tools/PiiSpin: 175 vs 13 Mchars/s).
     *
-    * Same stages, same order, same output as [[scrub]] — different
-    * execution shape, for a measured JVM reason: interleaving several
-    * compiled Patterns per row (what any per-row expression must do)
-    * makes `Matcher`'s internal dispatch sites megamorphic, and under
-    * concurrency the match loop stops scaling entirely — a standalone
-    * 4-thread harness ran the 4-stage chain in the same wall time as
-    * ONE thread (row-major), vs ~3× faster pattern-major. Batching
-    * a few thousand rows and running each stage across the whole batch keeps the
-    * dispatch monomorphic for long stretches, which is what the JIT's
-    * inline caches need. Constant memory per partition (one batch of
-    * strings), so the shape holds at 100 TB.
+    * Why gating instead of tuning the chain: every stage pattern opens
+    * with a guard alternation (`(^|[^0-9])…`) java.util.regex cannot
+    * derive a start-set from, so `replaceAll` attempts the full NFA at
+    * ~every position (~59 ns/char measured) — and the attempt loop is
+    * also where the engine's concurrency ceiling lives (tools/PiiProbe:
+    * 32 threads ≈ 2-4× one thread on a ≥16-core host, corpus-size
+    * independent). Candidate positions (digit/'@'/'+'/'(' adjacency)
+    * are enumerated with plain char scans instead, and the SAME
+    * compiled Patterns do the matching via region-anchored lookingAt,
+    * so greedy backtracking / guard-consumption semantics are the
+    * engine's own. One Scrubber per partition (Matchers are mutable);
+    * constant memory; the `batch` parameter is kept for signature
+    * stability but no longer affects execution.
     */
   def scrubBatched(
       ds: org.apache.spark.sql.Dataset[(Long, String)],
@@ -68,21 +75,8 @@ object PiiScrub {
     implicit val enc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
     ds.mapPartitions { it =>
-      val pats = Stages.map { case (p, r) => (java.util.regex.Pattern.compile(p), r) }
-      it.grouped(batch).flatMap { g =>
-        val ids = new Array[Long](g.size)
-        val txt = new Array[String](g.size)
-        var i = 0
-        g.foreach { case (id, t) => ids(i) = id; txt(i) = t; i += 1 }
-        pats.foreach { case (p, r) =>
-          var j = 0
-          while (j < txt.length) {
-            if (txt(j) != null) txt(j) = p.matcher(txt(j)).replaceAll(r)
-            j += 1
-          }
-        }
-        ids.indices.iterator.map(k => (ids(k), txt(k)))
-      }
+      val scr = new PiiScan.Scrubber()
+      it.map { case (id, t) => (id, if (t == null) null else scr.scrub(t)) }
     }
   }
 

@@ -53,12 +53,27 @@ object PiiProbe {
     println(f"[pii-probe] 1 thread / 1 replica: ${stRate / 1e6}%.1f Mchars/s")
 
     // the size ladder: same length distribution, distinct strings,
-    // 32 threads — each point is warm + timed like Bench
-    Seq(1, 4, 16, 64).foreach { rep =>
+    // 32 threads — each point is warm + timed like Bench. 256 replicas
+    // (~1.3 GB UTF-16) is the decisive point: well past any LLC, so a
+    // FLAT 64→256 hop certifies the steady state is linear and the
+    // sf1→sf10 residual was the one-time cache transition.
+    Seq(1, 4, 16, 64, 256).foreach { rep =>
       val corpus = replicate(base, rep)
       val totalChars = corpus.map(_.length.toLong).sum
       val rate = timed(32, corpus)
-      println(f"[pii-probe] 32 threads / $rep%2d replicas (${2 * totalChars / 1e6}%5.0f MB): ${rate / 1e6}%.1f Mchars/s")
+      println(f"[pii-probe] 32 threads / $rep%3d replicas (${2 * totalChars / 1e6}%5.0f MB): ${rate / 1e6}%.1f Mchars/s")
+    }
+
+    // thread-count ladder at FIXED 64-replica size: separates a shared
+    // resource (total rate saturates: bandwidth/LLC) from per-thread
+    // overhead (total rate scales with threads). The first probe run
+    // found 32-thread total ≈ 1-thread total at this size — cores busy
+    // but ~30× less efficient per thread — which, if it is a shared
+    // hardware ceiling, also bounds any per-executor thread count.
+    val fixed = replicate(base, 64)
+    Seq(1, 2, 4, 8, 16, 32).foreach { t =>
+      val rate = timed(t, fixed)
+      println(f"[pii-probe] $t%2d threads / 64 replicas: ${rate / 1e6}%.1f Mchars/s (${rate / 1e6 / t}%.2f per thread)")
     }
   }
 

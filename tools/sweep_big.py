@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Batched big-corpus oracle sweep (sf10/sf100): runs graft.Verify in
+small batches so the Spark dumps never accumulate past the disk budget
+(a full sf100 dump of the text-heavy rows would be tens of GB), checks
+each batch with check_oracles.py under a per-oracle timeout, logs one
+PASS/FAIL/TIMEOUT line per row, and deletes the batch's dumps before
+the next batch.
+
+Usage: python3 tools/sweep_big.py <sf_dir> <work_dir> [batch=6] [timeout=900]
+
+By-design skips (the deliberately all-pairs DuckDB references, quadratic
+in corpus size): q_ngram_jaccard, q_minhash_lsh, q_dedup_clusters.
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BY_DESIGN = ["q_ngram_jaccard", "q_minhash_lsh", "q_dedup_clusters"]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sh(cmd, env=None, timeout=None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    return subprocess.run(cmd, env=e, timeout=timeout,
+                          capture_output=True, text=True)
+
+
+def main():
+    sf_dir = sys.argv[1]
+    work = sys.argv[2]
+    batch_n = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 900
+    os.makedirs(work, exist_ok=True)
+    verify_env = {"SPARK_GRAFT_CPUS": "32",
+                  "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "48g")}
+
+    # bootstrap: one cheap row dumps oracle_sql.json (the name universe)
+    r = sh([f"{REPO}/tools/run_main.sh", "graft.Verify", sf_dir, work,
+            "q1_agg"], env=verify_env)
+    if r.returncode != 0:
+        print(r.stdout[-3000:], r.stderr[-3000:])
+        sys.exit(1)
+    names = sorted(json.load(open(f"{work}/oracle_sql.json")))
+    todo = [n for n in names if n not in BY_DESIGN]
+    print(f"[sweep] {len(todo)} rows to check ({len(BY_DESIGN)} by-design skips), "
+          f"batch={batch_n}, per-oracle timeout={timeout}s", flush=True)
+
+    results = {}
+    for i in range(0, len(todo), batch_n):
+        batch = todo[i:i + batch_n]
+        t0 = time.time()
+        r = sh([f"{REPO}/tools/run_main.sh", "graft.Verify", sf_dir, work,
+                ",".join(batch)], env=verify_env, timeout=7200)
+        spark_s = time.time() - t0
+        if r.returncode != 0:
+            print(f"[sweep] Verify FAILED for batch {batch}:", flush=True)
+            print(r.stderr[-3000:], flush=True)
+        # verify logs per-query failures to stderr without failing the run
+        for line in r.stderr.splitlines():
+            if "[verify]" in line:
+                print(f"[sweep] {line.strip()}", flush=True)
+        skip = ",".join([n for n in names if n not in batch])
+        t1 = time.time()
+        c = sh(["python3", f"{REPO}/tools/check_oracles.py", work, sf_dir,
+                skip, str(timeout)])
+        for line in c.stdout.splitlines():
+            if line.startswith(("PASS", "FAIL", "TIMEOUT")):
+                print(f"[sweep] {line}", flush=True)
+                results[line.split()[1]] = line.split()[0]
+        if c.returncode not in (0, 1):
+            print(f"[sweep] check_oracles rc={c.returncode}: "
+                  f"{c.stderr[-2000:]}", flush=True)
+        print(f"[sweep] batch {i // batch_n + 1}: spark {spark_s:.0f}s, "
+              f"oracle {time.time() - t1:.0f}s, "
+              f"disk free {shutil.disk_usage(work).free // 2**30}GB", flush=True)
+        for n in batch:
+            shutil.rmtree(f"{work}/{n}", ignore_errors=True)
+
+    n_pass = sum(1 for v in results.values() if v == "PASS")
+    n_fail = sum(1 for v in results.values() if v == "FAIL")
+    n_to = sum(1 for v in results.values() if v == "TIMEOUT")
+    missing = [n for n in todo if n not in results]
+    print(f"\n[sweep] TOTAL: {n_pass} PASS, {n_fail} FAIL, {n_to} TIMEOUT, "
+          f"{len(BY_DESIGN)} by-design skip", flush=True)
+    if n_fail:
+        print("[sweep] FAILED:", [n for n, v in results.items() if v == "FAIL"])
+    if n_to:
+        print("[sweep] TIMED OUT:", [n for n, v in results.items() if v == "TIMEOUT"])
+    if missing:
+        print("[sweep] NO RESULT:", missing)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
