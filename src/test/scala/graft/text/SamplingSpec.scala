@@ -79,4 +79,32 @@ class SamplingSpec extends SparkTestBase {
     assert(extra == slice, "the +0.5 copies must be exactly the 0.5 hash-sample members")
     assert(out.count(_.getAs[Int]("rep") == 0) == en.count())
   }
+
+  test("capPerStratum: at most K per stratum, chosen by hash priority, deterministic") {
+    val cap = 7
+    val out = Sampling.capPerStratum(docs, "source", "doc_id", cap)
+    val sizes = out.groupBy("source").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= cap))
+    // a stratum smaller than the cap passes through whole
+    val before = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    before.foreach { case (s, n) => assert(after(s) == math.min(n, cap.toLong), s) }
+    // the kept set is exactly the K lowest (hashBucket, id) per stratum
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantKept = docs
+      .withColumn("__b", Sampling.hashBucket(col("doc_id")))
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+      .flatMap { case (_, rows) =>
+        rows.sortBy(r => (r.getAs[Long]("__b"), r.getAs[Long]("doc_id")))
+          .take(cap).map(_.getAs[Long]("doc_id")).toSeq
+      }.toSet
+    assert(kept == wantKept)
+    // rank column is dense 1..k within each stratum
+    val ranks = out.filter(col("source") === out.select("source").head().getString(0))
+      .select("rank_in_stratum").collect().map(_.getInt(0)).sorted
+    assert(ranks.toSeq == (1 to ranks.length))
+  }
 }
