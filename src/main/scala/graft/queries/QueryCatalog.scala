@@ -3973,6 +3973,77 @@ object QueryCatalog {
                  len(a.a) - coalesce(r.nk, 0) AS n_removed
           FROM arrs a LEFT JOIN reb r USING (doc_id) ORDER BY a.doc_id"""
 
+  /** Gopher-style structural line/word filters with the keep verdict
+    * ([[graft.quality.GopherRules]]) — one codegen expression tree per
+    * row, no shuffle; the oracle replays the same integer counts and
+    * IEEE divisions (the SQL lives in GopherRules.sql beside the Scala
+    * so the two cannot drift).
+    */
+  val qGopherRules: Q = (s, dir) =>
+    graft.quality.GopherRules
+      .withGopherRules(rebalanced(tbl(s, dir, "documents")), "text")
+      .select("doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_frac", "ellipsis_frac", "alpha_word_frac", "dup_line_frac", "keep")
+
+  val qGopherRulesSql: String = graft.quality.GopherRules.sql
+
+  /** Embedding-space decontamination ([[graft.dedup.SemanticDecon]]):
+    * benchmark set = the 64 lowest vec_id ≡ 0 (mod 97) vectors (a small
+    * eval suite by construction at every sf), corpus = everything else;
+    * flag corpus vectors within cosine 0.3 of any benchmark vector with
+    * the argmax benchmark id. The bench collect is k-row driver
+    * altitude (≤ 64 rows); the scan itself is join- and shuffle-free
+    * (plan-asserted in SemanticDeconSpec). The oracle replays the full
+    * argmax: rank bench by (cosine DESC, bench_id) per corpus vector.
+    */
+  val qSemanticDecontam: Q = (s, dir) => {
+    val emb = tbl(s, dir, "embeddings")
+    val bench = emb.filter(col("vec_id") % 97 === 0)
+      .orderBy("vec_id").limit(64)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    graft.dedup.SemanticDecon
+      .flag(rebalanced(emb.filter(col("vec_id") % 97 =!= 0)),
+        "vec_id", "embedding", bench, tau = 0.3)
+      .withColumn("cosine", round(col("cosine"), 4))
+  }
+
+  val qSemanticDecontamSql: String =
+    """WITH bench AS (
+         SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+         FROM embeddings WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 64),
+       corpus AS (
+         SELECT vec_id, embedding::DOUBLE[] AS cv
+         FROM embeddings WHERE vec_id % 97 != 0),
+       scored AS (
+         SELECT c.vec_id, b.bench_id,
+                list_dot_product(cv, bv)
+                  / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv))) AS cos
+         FROM corpus c CROSS JOIN bench b),
+       best AS (
+         SELECT vec_id, bench_id, cos,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rk
+         FROM scored)
+       SELECT vec_id, bench_id, round(cos, 4) AS cosine
+       FROM best WHERE rk = 1 AND cos >= 0.3"""
+
+  /** Per-domain volume cap ([[graft.text.Sampling.capPerStratum]]):
+    * at most 20 documents per source, kept by deterministic hash
+    * priority — output is 20 sources × ≤20 rows at EVERY sf, so the
+    * graded row pins the priority order itself, not just the counts.
+    */
+  val qDomainCap: Q = (s, dir) =>
+    graft.text.Sampling
+      .capPerStratum(tbl(s, dir, "documents"), "source", "doc_id", 20)
+      .select("doc_id", "source", "rank_in_stratum")
+
+  val qDomainCapSql: String =
+    """WITH r AS (
+         SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT, doc_id) AS rk
+         FROM documents)
+       SELECT doc_id, source, CAST(rk AS INT) AS rank_in_stratum FROM r WHERE rk <= 20"""
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q3_join_topk" -> q3JoinTopK,
