@@ -4044,6 +4044,34 @@ object QueryCatalog {
          FROM documents)
        SELECT doc_id, source, CAST(rk AS INT) AS rank_in_stratum FROM r WHERE rk <= 20"""
 
+  /** Deterministic global training order: every document gets a
+    * (shard, pos) — shard by id-hash modulo a fixed shard count, a
+    * dense position within the shard by (hash, id). This is the
+    * reproducible-dataloader primitive: the "epoch shuffle" is a pure
+    * function of the ids, so any worker (or any engine — the oracle
+    * replays it) can re-derive exactly which document is row k of
+    * shard s with no shuffle manifest. Scale shape: one window keyed
+    * by shard — shards are uniform by construction (hash modulo), so
+    * there is no hot partition; at N shards the sort is N independent
+    * spill-safe runs, and growing the cluster just means more shards.
+    */
+  val qTrainOrder: Q = (s, dir) =>
+    tbl(s, dir, "documents")
+      .withColumn("shard", pmod(graft.text.Sampling.hashBucket(col("doc_id")), lit(8)).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(graft.text.Sampling.hashBucket(col("doc_id")), col("doc_id"))))
+      .select("doc_id", "shard", "pos")
+
+  val qTrainOrderSql: String =
+    """WITH h AS (
+         SELECT doc_id,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS b
+         FROM documents)
+       SELECT doc_id, CAST(b % 8 AS INT) AS shard,
+              CAST(row_number() OVER (PARTITION BY b % 8 ORDER BY b, doc_id) AS INT) AS pos
+       FROM h"""
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q3_join_topk" -> q3JoinTopK,

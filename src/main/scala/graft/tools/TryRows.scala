@@ -14,7 +14,8 @@ object TryRows {
     val rows: Seq[(String, QueryCatalog.Q, String)] = Seq(
       ("q_gopher_rules", QueryCatalog.qGopherRules, QueryCatalog.qGopherRulesSql),
       ("q_semantic_decontam", QueryCatalog.qSemanticDecontam, QueryCatalog.qSemanticDecontamSql),
-      ("q_domain_cap", QueryCatalog.qDomainCap, QueryCatalog.qDomainCapSql)
+      ("q_domain_cap", QueryCatalog.qDomainCap, QueryCatalog.qDomainCapSql),
+      ("q_train_order", QueryCatalog.qTrainOrder, QueryCatalog.qTrainOrderSql)
     )
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]")
