@@ -29,6 +29,17 @@ import java.util.concurrent.{Executors, TimeUnit}
   * steady state is linear: no fix exists or is needed. Only a
   * CONTINUED decline in the DRAM region would indicate real curvature.
   *
+  * WHAT IT FOUND (round 12; BASELINE.md addendum): neither — the
+  * curvature theory is dead a different way. Single-thread rate is
+  * SIZE-INDEPENDENT (3.7–4.2 Mchars/s at 4 MB and at 266 MB), and the
+  * 32-thread total saturates at ~6–10 Mchars/s regardless of corpus
+  * size — including fully-LLC-resident ones — on a host where 16
+  * pure-CPU processes scale perfectly. The ceiling is the regex
+  * engine's position-by-position attempt loop under concurrency (see
+  * tools/PiiSpin for the variant attribution and [[graft.text.PiiScan]]
+  * for the shipped fix: candidate-gated attempts, byte-identical
+  * output, 13.4× at 32 threads).
+  *
   * Run: `SPARK_DRIVER_MEM=16g sbt "runMain graft.tools.PiiProbe /root/testdata/sf0.1"`
   */
 object PiiProbe {
