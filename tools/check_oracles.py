@@ -33,6 +33,14 @@ import sys
 # documents).
 os.environ.setdefault("MALLOC_ARENA_MAX", "2")
 
+# Line-buffer stdout even on a pipe: the sweep harness consumes this
+# output through subprocess.run, and parent-side prints (TIMEOUT/FAIL
+# verdicts) sit in a block buffer until exit — any abnormal parent
+# death silently loses them (observed: two sf100 chunk-oracle rows
+# left NO trace in the sweep log). Reconfigure once, globally.
+import sys as _sys
+_sys.stdout.reconfigure(line_buffering=True)
+
 import duckdb
 
 

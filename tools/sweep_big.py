@@ -75,6 +75,13 @@ def main():
         if c.returncode not in (0, 1):
             print(f"[sweep] check_oracles rc={c.returncode}: "
                   f"{c.stderr[-2000:]}", flush=True)
+        # every batch name must have a verdict — a silent hole means the
+        # checker lost output (the vanished-TIMEOUT incident) and the
+        # row needs a re-run, so say so loudly with the evidence
+        for n in batch:
+            if n not in results:
+                print(f"[sweep] NO-VERDICT {n} (rc={c.returncode}; "
+                      f"stderr tail: {c.stderr[-500:]!r})", flush=True)
         print(f"[sweep] batch {i // batch_n + 1}: spark {spark_s:.0f}s, "
               f"oracle {time.time() - t1:.0f}s, "
               f"disk free {shutil.disk_usage(work).free // 2**30}GB", flush=True)
