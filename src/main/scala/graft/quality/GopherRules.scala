@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   *  - duplicate-line fraction
   *
   * Everything is a single-pass expression tree over built-ins — no
-  * UDFs, no shuffle: the filter is embarrassingly row-parallel and
-  * runs inside WholeStageCodegen at any corpus size. Ratios are
+  * UDFs, no shuffle: the filter is embarrassingly row-parallel at any
+  * corpus size (the array higher-order functions are interpreted, like
+  * the rest of the quality battery — acceptable because the cost is
+  * one pass over each token/line array, not a per-element re-eval; see
+  * TextAnalysis.withQualityAnalysis for the staged-projection sharing
+  * this reuses). Ratios are
   * plain IEEE divisions of integer counts, so the keep verdict is
   * bit-identical across engines (the DuckDB oracle replays the same
   * counts); displayed ratios are rounded half-up to 6 dp only at the
