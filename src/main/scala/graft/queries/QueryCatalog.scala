@@ -4168,7 +4168,11 @@ object QueryCatalog {
     "q_hard_negatives" -> qHardNegatives,
     "q_sample_review" -> qSampleReview,
     "q_image_resize" -> qImageResize,
-    "q_scrub_spans" -> qScrubSpans
+    "q_scrub_spans" -> qScrubSpans,
+    "q_gopher_rules" -> qGopherRules,
+    "q_semantic_decontam" -> qSemanticDecontam,
+    "q_domain_cap" -> qDomainCap,
+    "q_train_order" -> qTrainOrder
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4267,6 +4271,10 @@ object QueryCatalog {
     "q_hard_negatives" -> qHardNegativesSql,
     "q_sample_review" -> qSampleReviewSql,
     "q_image_resize" -> qImageResizeSql,
-    "q_scrub_spans" -> qScrubSpansSql
+    "q_scrub_spans" -> qScrubSpansSql,
+    "q_gopher_rules" -> qGopherRulesSql,
+    "q_semantic_decontam" -> qSemanticDecontamSql,
+    "q_domain_cap" -> qDomainCapSql,
+    "q_train_order" -> qTrainOrderSql
   )
 }
