@@ -4044,23 +4044,22 @@ object QueryCatalog {
          FROM documents)
        SELECT doc_id, source, CAST(rk AS INT) AS rank_in_stratum FROM r WHERE rk <= 20"""
 
-  /** Deterministic global training order: every document gets a
-    * (shard, pos) — shard by id-hash modulo a fixed shard count, a
-    * dense position within the shard by (hash, id). This is the
+  /** Deterministic global training order
+    * ([[graft.text.Sampling.trainOrder]]): every document gets a
+    * (shard, pos) — shard by id-hash modulo the shard count, a dense
+    * position within the shard by (hash, id). This is the
     * reproducible-dataloader primitive: the "epoch shuffle" is a pure
     * function of the ids, so any worker (or any engine — the oracle
     * replays it) can re-derive exactly which document is row k of
-    * shard s with no shuffle manifest. Scale shape: one window keyed
-    * by shard — shards are uniform by construction (hash modulo), so
-    * there is no hot partition; at N shards the sort is N independent
-    * spill-safe runs, and growing the cluster just means more shards.
+    * shard s with no shuffle manifest. The graded row pins 8 shards
+    * so the oracle is a fixed replay; real callers get
+    * `trainOrderAuto`, whose AdaptiveKnobs.trainShards count grows
+    * with the corpus (ceil(n / 2^20)) — a fixed count is a sort
+    * funnel at scale.
     */
   val qTrainOrder: Q = (s, dir) =>
-    tbl(s, dir, "documents")
-      .withColumn("shard", pmod(graft.text.Sampling.hashBucket(col("doc_id")), lit(8)).cast("int"))
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
-          .orderBy(graft.text.Sampling.hashBucket(col("doc_id")), col("doc_id"))))
+    graft.text.Sampling
+      .trainOrder(tbl(s, dir, "documents"), "doc_id", 8)
       .select("doc_id", "shard", "pos")
 
   val qTrainOrderSql: String =

@@ -108,6 +108,45 @@ object Sampling {
       .filter(col("rank_in_stratum") <= cap)
   }
 
+  /** Deterministic global training order: every row gets a
+    * (shard, pos) — shard by id-hash modulo `shards`, a dense 1-based
+    * position within the shard by (hash, id). The reproducible-
+    * dataloader primitive: the "epoch shuffle" is a pure function of
+    * the ids, so any worker (or any engine) can re-derive exactly
+    * which document is row k of shard s with no shuffle manifest.
+    *
+    * Scale shape: one window keyed by shard — shards are uniform by
+    * construction (hash modulo), so there is no hot partition; at N
+    * shards the sort is N independent spill-safe runs. The shard
+    * count must therefore GROW with the corpus (a fixed count is a
+    * sort funnel at scale) — use [[trainOrderAuto]] for the
+    * data-sized default, or pass an explicit count when the training
+    * job pins one.
+    */
+  def trainOrder(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards $shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("shard", pmod(hashBucket(col(idCol)), lit(shards)).cast("int"))
+      .withColumn(
+        "pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(hashBucket(col(idCol)), col(idCol))))
+  }
+
+  /** [[trainOrder]] with the shard count sized from the data:
+    * ceil(n / targetShardRows) via [[graft.tune.AdaptiveKnobs.trainShards]],
+    * so per-shard sort volume stays flat at any corpus size. The count
+    * is one column-pruned scan, noise next to the window it sizes.
+    */
+  def trainOrderAuto(
+      df: DataFrame,
+      idCol: String,
+      targetShardRows: Long = 1L << 20
+  ): DataFrame = {
+    val n = df.select(idCol).count()
+    trainOrder(df, idCol, graft.tune.AdaptiveKnobs.trainShards(targetShardRows)(n))
+  }
+
   def weightedResample(
       df: DataFrame,
       strataCol: String,

@@ -90,6 +90,30 @@ object AdaptiveKnobs {
     Sized(d + 1, math.min(d + 8, 64), n => (d + 1 to math.min(d + 8, 64)).minBy(cost(n)))
   }
 
+  /** Training-order shard count (graft.text.Sampling.trainOrder):
+    * ceil(n / targetShardRows), so each shard's window sort stays a
+    * bounded spill-safe run no matter the corpus size. A fixed shard
+    * count is the inverse of the usual trap — not quadratic but a
+    * FUNNEL: 8 shards over a trillion rows is 8 sort runs of 125 G
+    * rows each, when the whole point of sharding is that growing the
+    * corpus (or the cluster) just means more shards. Default target is
+    * 2^20 rows ≈ a few hundred MB of packed text per shard — the
+    * conventional training-shard size; ceil keeps every non-empty
+    * corpus at ≥1 shard. Capped at 2^24 shards (16.7 M files is
+    * already past any real object-store listing budget).
+    */
+  def trainShards(targetShardRows: Long = 1L << 20): Sized = {
+    require(targetShardRows > 0, "targetShardRows must be positive")
+    Sized(
+      1, 1 << 24,
+      // ceil without the n + target - 1 idiom: that sum overflows Long
+      // at the top of the domain (caught by this knob's own anchor spec)
+      n => {
+        val ceilDiv = n / targetShardRows + (if (n % targetShardRows > 0) 1L else 0L)
+        math.min(ceilDiv, (1 << 24).toLong).toInt
+      })
+  }
+
   /** Embedding sign-LSH key width (graft.dedup.Dedup): bits ∝ log2 of
     * the bucket count that keeps expected per-bucket population at
     * `targetBucketRows` — so bucket population is flat at any corpus

@@ -80,6 +80,46 @@ class SamplingSpec extends SparkTestBase {
     assert(out.count(_.getAs[Int]("rep") == 0) == en.count())
   }
 
+  test("trainOrder: (shard, pos) is a pure function of the ids — dense, uniform, replayable") {
+    val shards = 8
+    val out = Sampling.trainOrder(docs, "doc_id", shards)
+      .select("doc_id", "shard", "pos").collect()
+    // shard is hashBucket % shards, replayed row-by-row
+    val buckets = docs.withColumn("__b", Sampling.hashBucket(col("doc_id")))
+      .select("doc_id", "__b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r =>
+      assert(r.getInt(1) == (buckets(r.getLong(0)) % shards).toInt, s"shard of ${r.getLong(0)}"))
+    // pos is dense 1..count within each shard, ordered by (hash, id)
+    out.groupBy(_.getInt(1)).foreach { case (sh, rows) =>
+      val byPos = rows.sortBy(_.getInt(2))
+      assert(byPos.map(_.getInt(2)).toSeq == (1 to rows.length), s"non-dense pos in shard $sh")
+      val want = rows.map(_.getLong(0)).sortBy(id => (buckets(id), id))
+      assert(byPos.map(_.getLong(0)).toSeq == want.toSeq, s"order in shard $sh")
+    }
+    // determinism across runs and partition layouts
+    val again = Sampling.trainOrder(docs.repartition(13), "doc_id", shards)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
+  }
+
+  test("trainOrderAuto sizes the shard count from the corpus") {
+    val n = docs.count()
+    val want = graft.tune.AdaptiveKnobs.trainShards(100L)(n)
+    assert(want > 1, s"test corpus should span >1 shard at target 100 (n=$n)")
+    val out = Sampling.trainOrderAuto(docs, "doc_id", targetShardRows = 100L)
+    val used = out.select("shard").distinct().collect().map(_.getInt(0))
+    assert(used.forall(s => s >= 0 && s < want))
+    // the auto output is exactly trainOrder at the sized count
+    val pinned = Sampling.trainOrder(docs, "doc_id", want)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val auto = out.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(auto == pinned)
+  }
+
   test("capPerStratum: at most K per stratum, chosen by hash priority, deterministic") {
     val cap = 7
     val out = Sampling.capPerStratum(docs, "source", "doc_id", cap)

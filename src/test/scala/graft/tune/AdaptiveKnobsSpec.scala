@@ -33,6 +33,16 @@ class AdaptiveKnobsSpec extends AnyFunSuite {
     contract("simHashBlocks(d=2)", AdaptiveKnobs.simHashBlocks(2))
     contract("signBits", AdaptiveKnobs.signBits())
     contract("signBits(target=1024)", AdaptiveKnobs.signBits(1024L))
+    contract("trainShards", AdaptiveKnobs.trainShards())
+    contract("trainShards(target=100)", AdaptiveKnobs.trainShards(100L))
+  }
+
+  test("trainShards anchors: ceil(n/target), floor 1, 2^24 cap") {
+    val k = AdaptiveKnobs.trainShards(1L << 20)
+    assert(k(0L) == 1 && k(1L) == 1)
+    assert(k(1L << 20) == 1 && k((1L << 20) + 1) == 2)
+    assert(k(100L * (1L << 20)) == 100)   // 100 M rows → 100 shards
+    assert(k(Long.MaxValue) == (1 << 24)) // listing-budget cap, no overflow
   }
 
   test("legacy entry points delegate bit-for-bit (graded rows unchanged)") {

@@ -6,7 +6,9 @@
 # Heap via SPARK_DRIVER_MEM (default 8g), matching build.sbt.
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-CP="$REPO/target/scala-2.13/classes:/opt/spark/jars/*"
+# GRAFT_CLASSES overrides the classes dir — long sweeps snapshot the
+# compiled classes so concurrent sbt iteration can't swap them mid-run.
+CP="${GRAFT_CLASSES:-$REPO/target/scala-2.13/classes}:/opt/spark/jars/*"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do

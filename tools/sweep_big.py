@@ -6,7 +6,10 @@ each batch with check_oracles.py under a per-oracle timeout, logs one
 PASS/FAIL/TIMEOUT line per row, and deletes the batch's dumps before
 the next batch.
 
-Usage: python3 tools/sweep_big.py <sf_dir> <work_dir> [batch=6] [timeout=900]
+Usage: python3 tools/sweep_big.py <sf_dir> <work_dir> [batch=6] [timeout=900] [only_csv]
+
+only_csv: optional comma-separated row names — restricts the sweep to
+those rows (used to front-load the newest rows in a long sf100 run).
 
 By-design skips (the deliberately all-pairs DuckDB references, quadratic
 in corpus size): q_ngram_jaccard, q_minhash_lsh, q_dedup_clusters.
@@ -47,6 +50,13 @@ def main():
         sys.exit(1)
     names = sorted(json.load(open(f"{work}/oracle_sql.json")))
     todo = [n for n in names if n not in BY_DESIGN]
+    if len(sys.argv) > 5 and sys.argv[5]:
+        only = set(sys.argv[5].split(","))
+        unknown = only - set(names)
+        if unknown:
+            print(f"[sweep] unknown rows in only_csv: {sorted(unknown)}")
+            sys.exit(2)
+        todo = [n for n in todo if n in only]
     print(f"[sweep] {len(todo)} rows to check ({len(BY_DESIGN)} by-design skips), "
           f"batch={batch_n}, per-oracle timeout={timeout}s", flush=True)
 
@@ -100,7 +110,9 @@ def main():
         print("[sweep] TIMED OUT:", [n for n, v in results.items() if v == "TIMEOUT"])
     if missing:
         print("[sweep] NO RESULT:", missing)
-    sys.exit(1 if n_fail else 0)
+    # strict exit: TIMEOUT and NO-VERDICT rows are unverified — automation
+    # consuming the exit code must not read them as green (ADVICE r12)
+    sys.exit(1 if (n_fail or n_to or missing) else 0)
 
 
 if __name__ == "__main__":
