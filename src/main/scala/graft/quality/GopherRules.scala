@@ -103,6 +103,58 @@ object GopherRules {
       .drop(counted.columns.filter(_.startsWith("__")): _*)
   }
 
+  /** The eight Gopher stop words (Rae et al. §A1.1): a kept document
+    * must contain at least [[MinStopwordHits]] DISTINCT ones. Counting
+    * distinct presence (not total occurrences) follows the published
+    * open implementations of the rule; tokens are lowercased whitespace
+    * splits, so "The" counts but "the," does not — deterministic and
+    * replayed identically by the oracle.
+    */
+  val StopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val MinStopwordHits = 2
+
+  /** Count of distinct [[StopWords]] present among the lowercase
+    * whitespace tokens of `textCol` — `array_intersect` dedupes on both
+    * engines, so the count is capped at 8 by construction.
+    */
+  def stopwordHits(textCol: Column): Column = {
+    val toks =
+      filter(split(lower(coalesce(textCol, lit(""))), "\\s+"), w => length(w) > 0)
+    size(array_intersect(toks, array(StopWords.map(lit): _*)))
+  }
+
+  /** The COMPLETE Gopher quality filter — one `keep` verdict composing
+    * the three published §A1.1 rule families this engine computes in
+    * separate modules:
+    *
+    *  - structural ([[withGopherRules]]: word/line shape ratios),
+    *  - repetition ([[graft.text.RepetitionStats.keepByRepetitionFull]]:
+    *    dup-line ≤0.30, dup-line-char ≤0.20, top-2-gram ≤0.20,
+    *    top-3-gram ≤0.18, dup-5-gram ≤0.15 over the fused-pass feature
+    *    struct),
+    *  - the stop-word rule (≥2 distinct of the 8 published words).
+    *
+    * Output appends: the structural metric columns, `keep_structural`,
+    * `keep_repetition`, `stopword_hits`, and the composed `keep`.
+    * Scale shape: everything is row-local (expression tree + one fused
+    * per-doc pass) — no shuffle, embarrassingly parallel at any corpus
+    * size, so the composed filter costs exactly the sum of its halves.
+    */
+  def withGopherKeep(df: DataFrame, textCol: String): DataFrame = {
+    import graft.text.RepetitionStats
+    withGopherRules(df, textCol)
+      .withColumnRenamed("keep", "keep_structural")
+      .withColumn("__rep", RepetitionStats.repetitionFeatures(col(textCol)))
+      .withColumn("keep_repetition", RepetitionStats.keepByRepetitionFull(col("__rep")))
+      .withColumn("stopword_hits", stopwordHits(col(textCol)))
+      .withColumn(
+        "keep",
+        col("keep_structural") && col("keep_repetition") &&
+          col("stopword_hits") >= MinStopwordHits)
+      .drop("__rep")
+  }
+
   /** The same battery as DuckDB SQL over `documents` — kept beside the
     * Scala so the two cannot drift silently (the PiiScrub pattern).
     */

@@ -4071,6 +4071,47 @@ object QueryCatalog {
               CAST(row_number() OVER (PARTITION BY b % 8 ORDER BY b, doc_id) AS INT) AS pos
        FROM h"""
 
+  /** The COMPLETE Gopher quality filter
+    * ([[graft.quality.GopherRules.withGopherKeep]]): the structural
+    * battery, the FULL five-threshold repetition verdict (top-3-gram
+    * ≤0.18 and dup-line-char ≤0.20 included), and the stop-word rule
+    * (≥2 distinct of the 8 published words) composed into one keep.
+    * The oracle replays all three families from scratch — the
+    * structural and repetition replays are the same SQL the
+    * q_gopher_rules / q_repetition rows grade, joined with a
+    * list_intersect stop-word count — so a green row certifies the
+    * COMPOSITION, not just the parts.
+    */
+  val qGopherFull: Q = (s, dir) =>
+    graft.quality.GopherRules
+      .withGopherKeep(rebalanced(tbl(s, dir, "documents")), "text")
+      .select(
+        col("doc_id"), col("n_words"), col("keep_structural"),
+        col("keep_repetition"), col("stopword_hits"), col("keep"))
+
+  val qGopherFullSql: String = {
+    import graft.text.RepetitionStats._
+    val repKeep =
+      s"""(r.dup_line_frac <= $MaxDupLineFrac AND r.dup_line_char_frac <= $MaxDupLineCharFrac
+            AND r.top2gram_char_frac <= $MaxTop2Frac AND r.top3gram_char_frac <= $MaxTop3Frac
+            AND r.dup5gram_char_frac <= $MaxDup5Frac)"""
+    val stopList = graft.quality.GopherRules.StopWords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT s.doc_id, s.n_words,
+          s.keep AS keep_structural,
+          $repKeep AS keep_repetition,
+          CAST(w.hits AS INT) AS stopword_hits,
+          (s.keep AND $repKeep
+             AND w.hits >= ${graft.quality.GopherRules.MinStopwordHits}) AS keep
+        FROM (${graft.quality.GopherRules.sql}) s
+        JOIN ($qRepetitionSql) r USING (doc_id)
+        JOIN (SELECT doc_id,
+                len(list_intersect(
+                  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), x -> x <> ''),
+                  [$stopList])) AS hits
+              FROM documents) w USING (doc_id)
+        ORDER BY s.doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q3_join_topk" -> q3JoinTopK,
@@ -4169,6 +4210,7 @@ object QueryCatalog {
     "q_image_resize" -> qImageResize,
     "q_scrub_spans" -> qScrubSpans,
     "q_gopher_rules" -> qGopherRules,
+    "q_gopher_full" -> qGopherFull,
     "q_semantic_decontam" -> qSemanticDecontam,
     "q_domain_cap" -> qDomainCap,
     "q_train_order" -> qTrainOrder
@@ -4272,6 +4314,7 @@ object QueryCatalog {
     "q_image_resize" -> qImageResizeSql,
     "q_scrub_spans" -> qScrubSpansSql,
     "q_gopher_rules" -> qGopherRulesSql,
+    "q_gopher_full" -> qGopherFullSql,
     "q_semantic_decontam" -> qSemanticDecontamSql,
     "q_domain_cap" -> qDomainCapSql,
     "q_train_order" -> qTrainOrderSql

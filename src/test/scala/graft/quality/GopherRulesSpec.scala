@@ -79,4 +79,85 @@ class GopherRulesSpec extends SparkTestBase {
       s"degenerate keep column: $kept of $n — thresholds grade nothing")
     out.unpersist()
   }
+
+  private def fullOf(text: String) = {
+    import spark.implicits._
+    GopherRules.withGopherKeep(Seq((1L, text)).toDF("doc_id", "text"), "text")
+      .select("keep_structural", "keep_repetition", "stopword_hits", "keep")
+      .head()
+  }
+
+  // CleanDoc repeats a 3-word template (fails the repetition family by
+  // construction) — the composed tests need genuinely non-repetitive
+  // prose with no stop words, plus a tail carrying exactly two
+  private val ProseDoc =
+    (1 to 30).map(i => s"alpha$i bravo$i charlie$i").mkString(" ")
+  private val StopTail = " the results go with care"
+
+  test("withGopherKeep: composed verdict is the AND of all three families") {
+    val good = fullOf(ProseDoc + StopTail)
+    assert(good.getAs[Boolean]("keep_structural"))
+    assert(good.getAs[Boolean]("keep_repetition"))
+    assert(good.getAs[Int]("stopword_hits") == 2)
+    assert(good.getAs[Boolean]("keep"))
+
+    // stop-word rule alone flips keep: structurally clean, not repetitive,
+    // but only one distinct stop word
+    val oneStop = fullOf(ProseDoc + " the results")
+    assert(oneStop.getAs[Boolean]("keep_structural"))
+    assert(oneStop.getAs[Boolean]("keep_repetition"))
+    assert(oneStop.getAs[Int]("stopword_hits") == 1)
+    assert(!oneStop.getAs[Boolean]("keep"))
+
+    // repetition alone flips keep: one 5-gram repeated past the 0.15
+    // char-fraction threshold, word count and shape still in range
+    val phrase = "solar panels convert light energy"
+    val repetitive =
+      ((1 to 8).map(_ => phrase) ++ (1 to 22).map(i => s"unique filler word$i next")).mkString(" ") + StopTail
+    val rep = fullOf(repetitive)
+    assert(rep.getAs[Boolean]("keep_structural"))
+    assert(!rep.getAs[Boolean]("keep_repetition"))
+    assert(!rep.getAs[Boolean]("keep"))
+
+    // structural alone flips keep (word count below the floor)
+    val short = fullOf("too short to keep but the words go with the flow")
+    assert(!short.getAs[Boolean]("keep_structural"))
+    assert(short.getAs[Int]("stopword_hits") >= 2)
+    assert(!short.getAs[Boolean]("keep"))
+  }
+
+  test("stopwordHits counts DISTINCT published stop words, lowercased") {
+    import spark.implicits._
+    val hits = Seq(
+      (1L, "The THE the and AND"),        // 2 distinct despite 5 hits
+      (2L, "the be to of and that have with extra"), // all 8
+      (3L, "them andes tothe"),           // substrings don't count
+      (4L, null: String)
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), GopherRules.stopwordHits(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hits == Map(1L -> 2, 2L -> 8, 3L -> 0, 4L -> 0))
+  }
+
+  test("keepByRepetitionFull: top-3-gram and dup-line-char thresholds participate") {
+    import spark.implicits._
+    // a doc whose top 3-gram char fraction exceeds 0.18 while top-2 ≤ 0.20
+    // and dup-5 ≤ 0.15: repeat a 3-token phrase with a UNIQUE separator
+    // pair between repeats (adjacent repeats would leak into dup-5-grams)
+    val tri = "alpha beta gamma"
+    val doc = ((1 to 6).flatMap(i => Seq(tri, s"sep$i uniq$i"))
+      ++ (1 to 40).map(i => s"w$i x$i")).mkString(" ")
+    val f = graft.text.RepetitionStats.repetitionFeatures(col("text"))
+    val row = Seq((1L, doc)).toDF("doc_id", "text")
+      .select(f.as("f"))
+      .select(
+        col("f.top2gram_char_frac").as("t2"), col("f.top3gram_char_frac").as("t3"),
+        col("f.dup5gram_char_frac").as("d5"),
+        graft.text.RepetitionStats.keepByRepetition(col("f")).as("old"),
+        graft.text.RepetitionStats.keepByRepetitionFull(col("f")).as("full"))
+      .head()
+    assert(row.getAs[Double]("t3") > 0.18, s"construction: t3=${row.getAs[Double]("t3")}")
+    assert(row.getAs[Boolean]("old"), "three-term verdict must miss this doc")
+    assert(!row.getAs[Boolean]("full"), "full verdict must catch the top-3-gram run")
+  }
 }
