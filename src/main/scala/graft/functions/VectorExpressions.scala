@@ -754,6 +754,165 @@ case class GroupedNearestPivotCosine(
     copy(left = newLeft, right = newRight)
 }
 
+/** [[NearestPivotCosine]] with the pivot matrix behind a BROADCAST
+  * VARIABLE instead of a plan literal. Identical contract (argmax
+  * cosine, ties to the lowest index, zero vector → last pivot) —
+  * pinned bit-for-bit against the literal expression by
+  * VectorFunctionsSpec.
+  *
+  * When to use which: a plan literal is serialized into the expression
+  * tree of EVERY task closure — right at IVF-centroid scale (k×dim ≤
+  * ~1 MB), wrong at a 50k×1024-float eval suite (~200 MB per task
+  * binary). A broadcast ships once per executor through the block
+  * manager and the expression carries only the handle, so plan size
+  * stays flat in |pivots| (spec-probed via serialized expression
+  * size). Norms ride pre-computed in the broadcast so tasks don't
+  * redo the k·dim norm pass on every deserialization.
+  */
+case class BroadcastNearestPivotCosine(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Float]], Array[Double])])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nearest_pivot needs array<float|double>, got $t")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val matrix: Array[Array[Float]] = bc.value._1
+  @transient private lazy val pivotNorms: Array[Double] = bc.value._2
+
+  /** Same algorithm as [[NearestPivotCosine.nullSafeEval]] — called
+    * from both interpreted eval and generated code (the RegexChain
+    * codegen pattern: the k·dim inner loop dwarfs one virtual call).
+    */
+  def evalIdx(a: Any): Int = {
+    val v = a.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    val f = isFloat
+    var vn = 0.0
+    var i = 0
+    while (i < nv) {
+      val x = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+      vn += x * x
+      i += 1
+    }
+    if (vn == 0.0) return matrix.length - 1
+    val vnorm = math.sqrt(vn)
+    var best = Double.NegativeInfinity
+    var bi = matrix.length - 1
+    var j = 0
+    while (j < matrix.length) {
+      val p = matrix(j)
+      val n = math.min(nv, p.length)
+      var d = 0.0
+      var k = 0
+      while (k < n) {
+        val x = if (f) v.getFloat(k).toDouble else v.getDouble(k)
+        d += x * p(k).toDouble
+        k += 1
+      }
+      val cos = d / (vnorm * pivotNorms(j))
+      if (cos > best) { best = cos; bi = j }
+      j += 1
+    }
+    bi
+  }
+
+  override def nullSafeEval(a: Any): Any = evalIdx(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bcastNearestPivot", this,
+      classOf[BroadcastNearestPivotCosine].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalIdx($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Cosine between the row vector and broadcast pivot `idx` — the
+  * broadcast-route mirror of
+  * `cosineSimilarity(vec, element_at(litMatrix, idx + 1))`: same
+  * accumulation orders as [[DotProduct]] (dot over min length, norms
+  * over each full length, denom = product of sqrts), null on a zero
+  * denominator. Bit-parity with the literal route is spec-pinned.
+  */
+case class BroadcastPivotCosine(
+    left: Expression,
+    right: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Float]], Array[Double])])
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(s"pivot_cosine needs (array<float|double>, int), got $l / $r")
+  }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val matrix: Array[Array[Float]] = bc.value._1
+  @transient private lazy val pivotNorms: Array[Double] = bc.value._2
+
+  def evalCos(a: Any, idx: Int): java.lang.Double = {
+    val v = a.asInstanceOf[ArrayData]
+    val p = matrix(idx)
+    val nv = v.numElements()
+    val f = isFloat
+    var vn = 0.0
+    var i = 0
+    while (i < nv) {
+      val x = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+      vn += x * x
+      i += 1
+    }
+    val denom = math.sqrt(vn) * pivotNorms(idx)
+    if (denom == 0.0) null
+    else {
+      val n = math.min(nv, p.length)
+      var d = 0.0
+      var k = 0
+      while (k < n) {
+        val x = if (f) v.getFloat(k).toDouble else v.getDouble(k)
+        d += x * p(k).toDouble
+        k += 1
+      }
+      java.lang.Double.valueOf(d / denom)
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = evalCos(a, b.asInstanceOf[Int])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bcastPivotCosine", this,
+      classOf[BroadcastPivotCosine].getName)
+    nullSafeCodeGen(ctx, ev, (v, i) => {
+      val r = ctx.freshName("cosRes")
+      s"""
+         |java.lang.Double $r = $ref.evalCos($v, $i);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -774,6 +933,39 @@ object VectorExpressions {
   /** Column wrapper for [[NearestPivotCosine]]. */
   def nearestPivotCosine(vec: Column, pivots: Seq[Array[Float]]): Column =
     GraftBridge.column(NearestPivotCosine(GraftBridge.expression(vec), pivots.map(_.toSeq)))
+
+  /** Broadcast a pivot matrix once per executor (norms pre-computed
+    * with the same left-to-right double accumulation as [[DotProduct]],
+    * so broadcast-route cosines are bit-identical to the literal
+    * route's `sqrt(dot(p,p))`). Share the returned handle across
+    * [[bcastNearestPivotCosine]] / [[bcastPivotCosine]] calls.
+    */
+  def broadcastPivots(
+      spark: org.apache.spark.sql.SparkSession,
+      pivots: Seq[Array[Float]]
+  ): org.apache.spark.broadcast.Broadcast[(Array[Array[Float]], Array[Double])] = {
+    val m = pivots.map(_.clone()).toArray
+    val norms = m.map { p =>
+      var s = 0.0; var i = 0
+      while (i < p.length) { s += p(i).toDouble * p(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    spark.sparkContext.broadcast((m, norms))
+  }
+
+  /** Column wrapper for [[BroadcastNearestPivotCosine]]. */
+  def bcastNearestPivotCosine(
+      vec: Column,
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Float]], Array[Double])]): Column =
+    GraftBridge.column(BroadcastNearestPivotCosine(GraftBridge.expression(vec), bc))
+
+  /** Column wrapper for [[BroadcastPivotCosine]]. */
+  def bcastPivotCosine(
+      vec: Column,
+      idx: Column,
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Float]], Array[Double])]): Column =
+    GraftBridge.column(BroadcastPivotCosine(
+      GraftBridge.expression(vec), GraftBridge.expression(idx), bc))
 
   /** Column wrapper for [[TopPivotsCosine]]. */
   def topPivotsCosine(vec: Column, pivots: Seq[Array[Float]], n: Int): Column =
