@@ -50,6 +50,18 @@ object GraftBridge {
     spark.sessionState.functionRegistry
       .dropFunction(catalyst.FunctionIdentifier(name))
 
+  /** Storage-level RDD ids of the cached relations a Dataset reads —
+    * the ids `SparkContext.getRDDStorageInfo` reports for those caches
+    * (a Dataset's own `.rdd.id` is a fresh deserialized RDD, NOT the
+    * cached buffers). Lets a caller judge residency of SPECIFIC caches
+    * instead of every cached RDD in the session.
+    */
+  def cachedRddIds(df: Dataset[_]): Seq[Int] =
+    df.queryExecution.executedPlan.collect {
+      case s: execution.columnar.InMemoryTableScanExec =>
+        s.relation.cacheBuilder.cachedColumnBuffers.id
+    }
+
   /** Replay a SparkSessionExtensions' injected functions onto a live
     * session's registry — exactly what BaseSessionStateBuilder does at
     * session build; lets tests exercise the `spark.sql.extensions`

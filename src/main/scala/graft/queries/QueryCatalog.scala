@@ -3634,12 +3634,20 @@ object QueryCatalog {
 
   /** Re-materialize any evicted blocks of the prepared index caches
     * (a count over a partially-evicted cached DataFrame recomputes
-    * exactly the missing partitions). Returns whether every cached RDD
-    * was already fully resident, so the caller can record that an
-    * eviction actually happened rather than silently absorbing it.
+    * exactly the missing partitions). Returns whether the THREE index
+    * caches were already fully resident — judged by their own storage
+    * RDD ids, not session-wide, so an unrelated partially-cached RDD
+    * (a spec or query-side cache) can't raise a spurious eviction
+    * warning (ADVICE r12).
     */
   def ensureIndexCaches(s: SparkSession, dir: String): Boolean = {
+    val (labeled, _, _) = ivfIndexFor(s, dir)
+    val (encoded, _) = pqIndexFor(s, dir)
+    val (ivfpq, _, _) = ivfpqIndexFor(s, dir)
+    val ids = (Seq(labeled, encoded, ivfpq)
+      .flatMap(org.apache.spark.sql.GraftBridge.cachedRddIds)).toSet
     val fullyResident = s.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id))
       .forall(i => i.numCachedPartitions >= i.numPartitions)
     prepare(s, dir)
     fullyResident
@@ -3671,7 +3679,12 @@ object QueryCatalog {
     * density while the auto variant owns the scale path.
     */
   val qSemanticDedup: Q = (s, dir) => {
-    val e = tbl(s, dir, "embeddings").filter(col("vec_id") < 2000)
+    // zero-norm guard (ADVICE r12): the engine sends a zero vector to
+    // the LAST pivot while the oracle's NULL-cosine ordering would rank
+    // it first — no corpus ships one, but the row must not depend on it
+    val e = tbl(s, dir, "embeddings")
+      .filter(col("vec_id") < 2000)
+      .filter(graft.functions.VectorFunctions.dotProduct(col("embedding"), col("embedding")) > 0)
     SemanticDedup
       .semanticDedup(e.select("vec_id", "embedding"), "vec_id", "embedding",
         pivotVecs(s, dir), tau = 0.3)
@@ -3679,7 +3692,8 @@ object QueryCatalog {
   }
 
   val qSemanticDedupSql: String =
-    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 2000),
+    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE vec_id < 2000 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
        p AS (SELECT vec_id AS pid, v AS pv FROM t WHERE vec_id < 8),
        a AS (SELECT t.vec_id, t.v, p.pid,
              list_dot_product(t.v, p.pv) / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos
@@ -3705,7 +3719,12 @@ object QueryCatalog {
     */
   val qKmeansStep: Q = (s, dir) =>
     SemanticDedup
-      .lloydStep(tbl(s, dir, "embeddings"), "embedding", pivotVecs(s, dir))
+      .lloydStep(
+        // zero-norm guard — same engine/oracle divergence as
+        // q_semantic_dedup (ADVICE r12)
+        tbl(s, dir, "embeddings").filter(
+          graft.functions.VectorFunctions.dotProduct(col("embedding"), col("embedding")) > 0),
+        "embedding", pivotVecs(s, dir))
       .select(
         col("cluster"), col("n"),
         round(element_at(col("__m"), 1), 9).as("mean_d1"),
@@ -3713,7 +3732,8 @@ object QueryCatalog {
         round(col("__mc"), 9).as("mean_cos"))
 
   val qKmeansStepSql: String =
-    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
        p AS (SELECT vec_id AS pid, v AS pv FROM t WHERE vec_id < 8),
        a AS (SELECT t.vec_id, t.v, p.pid,
              list_dot_product(t.v, p.pv) / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos

@@ -52,6 +52,15 @@ object HierarchicalKMeans {
       sampleTarget: Int = 0
   ): Model = {
     require(k >= 2, s"k must be >= 2, got $k")
+    // the init/refine collects read getSeq[Float] — a double-typed
+    // vector column would die with a ClassCastException deep inside
+    // collect, so reject it here with an actionable message (ADVICE r12)
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      case t =>
+        throw new IllegalArgumentException(
+          s"train needs $vecCol: array<float>, got $t — cast first: col(\"$vecCol\").cast(\"array<float>\")")
+    }
     val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     val k2 = math.max(1, math.ceil(k.toDouble / k1).toInt)
     val target = if (sampleTarget > 0) sampleTarget else 256 * k

@@ -60,4 +60,14 @@ class HierarchicalKMeansSpec extends SparkTestBase {
       "scaled duplicates must be removed on the hierarchical path")
     assert(out.contains(17L) && out.contains(63L) && out.contains(110L))
   }
+
+  test("train rejects a double-typed vector column with an actionable error") {
+    import org.apache.spark.sql.functions._
+    val doubled = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      HierarchicalKMeans.train(doubled, "embedding", k = 4)
+    }
+    assert(e.getMessage.contains("array<float>") && e.getMessage.contains("cast"))
+  }
 }
