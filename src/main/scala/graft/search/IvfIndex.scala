@@ -32,28 +32,87 @@ object IvfIndex {
     * below the sample target (every correctness-gate scale) fit on the
     * full data — behavior there is unchanged.
     */
+  /** Above this nlist, training routes through
+    * [[HierarchicalKMeans]]: flat Lloyd is n·k distance work per
+    * iteration, and the SemDeDup ladder measured the two-level n·√k
+    * train at 22.7 s where flat took 77.9 s (200k vectors, k=781 —
+    * SCALE.md round-12). At the reference default nlist=128 flat MLlib
+    * stays byte-identical to every previous round (the recall rows pin
+    * it); the hierarchical path owns the large-nlist regime a 100 TB
+    * corpus needs (k ∝ n keeps per-cluster population flat).
+    */
+  val HierarchicalNlistThreshold = 256
+
+  /** Train centroids and label every row — flat MLlib KMeans at or
+    * below [[HierarchicalNlistThreshold]], [[HierarchicalKMeans]]
+    * above it. Returns (labeled corpus with `cluster_id`, centroid
+    * array); `cluster_id` always indexes the returned array. The
+    * hierarchical path may return slightly more than nlist centroids
+    * (k1·k2 rounding) — nlist is a target, as in FAISS practice, and
+    * the search-side bound (see [[clusterRadii]]) is exact for ANY
+    * partition of the rows, so both paths give exact search.
+    */
   def build(
       corpus: DataFrame,
       vecCol: String = "embedding",
       cfg: IndexConfig = IndexConfig.default,
       seed: Long = 42L,
       fitSampleTarget: Int = 0 // ≤0 → 256 * cfg.nlist
+  ): (DataFrame, Array[Array[Float]]) =
+    if (cfg.nlist > HierarchicalNlistThreshold)
+      buildHierarchical(corpus, vecCol, cfg.nlist, seed, fitSampleTarget)
+    else {
+      val withVec = corpus.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+      val target = if (fitSampleTarget > 0) fitSampleTarget else 256 * cfg.nlist
+      val n = corpus.count() // column-pruned count, one cheap job at index-build time
+      val fitSet =
+        if (n > target) withVec.sample(withReplacement = false, target.toDouble / n, seed)
+        else withVec
+      val km = new KMeans()
+        .setK(cfg.nlist)
+        .setSeed(seed)
+        .setFeaturesCol("__v")
+        .setPredictionCol("cluster_id")
+        .setMaxIter(10)
+      val model = km.fit(fitSet)
+      val labeled = model.transform(withVec).drop("__v")
+      val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+      (labeled, centroids)
+    }
+
+  /** Large-nlist training: two-level hierarchical k-means (n·√k per
+    * iteration instead of n·k) + a map-only dense relabel. Assignment
+    * is cosine (the vector family's metric); the IVF bound needs only
+    * that radii are measured from ACTUAL membership, so exactness is
+    * unaffected. The sparse cell·stride+sub ids densify through a
+    * small literal map so `cluster_id` indexes the centroid array,
+    * like the flat path.
+    */
+  private def buildHierarchical(
+      corpus: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      seed: Long,
+      fitSampleTarget: Int
   ): (DataFrame, Array[Array[Float]]) = {
-    val withVec = corpus.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
-    val target = if (fitSampleTarget > 0) fitSampleTarget else 256 * cfg.nlist
-    val n = corpus.count() // column-pruned count, one cheap job at index-build time
-    val fitSet =
-      if (n > target) withVec.sample(withReplacement = false, target.toDouble / n, seed)
-      else withVec
-    val km = new KMeans()
-      .setK(cfg.nlist)
-      .setSeed(seed)
-      .setFeaturesCol("__v")
-      .setPredictionCol("cluster_id")
-      .setMaxIter(10)
-    val model = km.fit(fitSet)
-    val labeled = model.transform(withVec).drop("__v")
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    // HierarchicalKMeans requires array<float> (the repo's vector type);
+    // a double-typed column casts down — float precision is what the
+    // whole expression family computes in anyway
+    val floatCorpus = corpus.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => corpus
+      case _ => corpus.withColumn(vecCol, col(vecCol).cast("array<float>"))
+    }
+    val model = HierarchicalKMeans.train(
+      floatCorpus, vecCol, nlist, seed = seed, sampleTarget = fitSampleTarget)
+    val rawIds = for ((m, c) <- model.subs.zipWithIndex; s <- m.indices)
+      yield c * model.stride + s
+    val centroids = model.flatten.toArray // same (cell, sub) iteration order as rawIds
+    val remap = map(rawIds.zipWithIndex.flatMap {
+      case (r, d) => Seq(lit(r), lit(d))
+    }: _*)
+    val labeled = HierarchicalKMeans.assign(floatCorpus, vecCol, model, "__raw")
+      .withColumn("cluster_id", element_at(remap, col("__raw")))
+      .drop("__raw")
     (labeled, centroids)
   }
 

@@ -211,4 +211,30 @@ class VectorSearchSpec extends SparkTestBase {
       .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
     assert(got == expect, s"$got vs $expect")
   }
+
+  test("hierarchical IVF build (nlist > threshold): dense ids, full labeling, exact search intact") {
+    implicit val s = spark
+    val nlist = IvfIndex.HierarchicalNlistThreshold + 44 // forces the hierarchical path
+    val (labeled0, centroids) = IvfIndex.build(embeddings, "embedding", IndexConfig(nlist = nlist))
+    val labeled = labeled0.cache()
+    try {
+      // nlist is a TARGET: small cells contribute fewer sub-pivots than
+      // k2, so k lands near nlist, not exactly on it
+      assert(centroids.length >= nlist / 2 && centroids.length <= 2 * nlist,
+        s"k should land near the nlist target: ${centroids.length} vs $nlist")
+      // every row labeled, ids dense into the centroid array
+      assert(labeled.count() == embeddings.count())
+      val ids = labeled.select("cluster_id").distinct().collect().map(_.getInt(0))
+      assert(ids.forall(i => i >= 0 && i < centroids.length),
+        s"cluster_id out of centroid range: ${ids.filterNot(i => i >= 0 && i < centroids.length).mkString(",")}")
+      // the radius bound is partition-agnostic: exact search on the
+      // hierarchical index returns the brute-force top-10 exactly
+      val radii = IvfIndex.clusterRadii(labeled, centroids)
+      val q = embeddings.filter(col("vec_id") === 7).head().getSeq[Float](1).toArray
+      val exact = VectorSearch.topK(embeddings, q, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+      val got = IvfIndex.searchTopKExact(labeled, centroids, radii, q, 10, scout = 4)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(got == exact, s"bounded search must stay exact: $got vs $exact")
+    } finally labeled.unpersist()
+  }
 }
