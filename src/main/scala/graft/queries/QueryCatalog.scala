@@ -4132,6 +4132,33 @@ object QueryCatalog {
         ORDER BY s.doc_id"""
   }
 
+  /** The streaming ingest family's windowed aggregation
+    * ([[graft.streaming.StreamingIngest.hourlyEventCounts]]) executed
+    * over a static frame — batch and stream share this exact plan
+    * (the q_stream_backfill pattern), and StreamingIngestSpec pins
+    * stream ≡ batch through a MemoryStream with watermark-driven
+    * append finalization. The oracle is the DuckDB time-bucket
+    * replay: tumbling 1 h `window()` starts are epoch-aligned, i.e.
+    * date_trunc('hour'). Scale shape: one map-side-combinable
+    * aggregate keyed by (window, event_type) — the streaming state
+    * store holds only open windows (watermark-bounded), the batch
+    * form is a plain hash aggregate.
+    */
+  val qStreamIngest: Q = (s, dir) => {
+    val e = eventsMicros(s, dir).withColumn("ts", timestamp_micros(col("ts")))
+    graft.streaming.StreamingIngest.hourlyEventCounts(e)
+      .select(
+        unix_timestamp(col("window_start")).as("window_start_epoch"),
+        col("event_type"),
+        col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+  }
+
+  val qStreamIngestSql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q3_join_topk" -> q3JoinTopK,
@@ -4217,6 +4244,7 @@ object QueryCatalog {
     "q_rag_prompt" -> qRagPrompt,
     "q_search_facade" -> qSearchFacade,
     "q_stream_backfill" -> qStreamBackfill,
+    "q_stream_ingest" -> qStreamIngest,
     "q_stream_neardup" -> qStreamNearDup,
     "q_pipeline_e2e" -> qPipelineE2E,
     "q_semantic_dedup" -> qSemanticDedup,
@@ -4321,6 +4349,7 @@ object QueryCatalog {
     "q_rag_prompt" -> qRagPromptSql,
     "q_search_facade" -> qSearchFacadeSql,
     "q_stream_backfill" -> qStreamBackfillSql,
+    "q_stream_ingest" -> qStreamIngestSql,
     "q_stream_neardup" -> qStreamNearDupSql,
     "q_pipeline_e2e" -> qPipelineE2ESql,
     "q_semantic_dedup" -> qSemanticDedupSql,

@@ -90,4 +90,39 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("n_events") == 2)
     assert(out(0).getAs[Double]("sum_value") == 3.0)
   }
+
+  test("hourly event windows: stream (append, watermark-finalized) equals batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val data = Seq(
+      (t("2026-01-01 10:05:00"), "click", 1.0),
+      (t("2026-01-01 10:55:00"), "click", 2.0),
+      (t("2026-01-01 11:05:00"), "view", 3.0),
+      (t("2026-01-01 11:20:00"), "click", 4.0))
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = StreamingIngest
+      .hourlyEventCounts(input.toDS().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hourly_out").outputMode("append").start()
+    try {
+      // data split across micro-batches; a far-future sentinel advances
+      // the watermark past every real window so append mode emits them
+      input.addData(data.take(2))
+      q.processAllAvailable()
+      input.addData(data.drop(2))
+      q.processAllAvailable()
+      input.addData((t("2026-01-02 00:00:00"), "sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = StreamingIngest.hourlyEventCounts(data.toDF("ts", "event_type", "value"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
 }
