@@ -2742,7 +2742,16 @@ object QueryCatalog {
     * documented caller-side contract (StreamingNearDup class doc).
     */
   val qStreamNearDup: Q = (s, dir) => {
-    val ev = eventsRaw(s, dir).select("event_id")
+    // graded slice capped at the replica-0 events (event_id < 100000 =
+    // the full sf0.1 corpus at every decade — the q_embed_neardup cap
+    // pattern): the FIXTURE is maximal-duplication by construction
+    // (every text a 10-copy dup → 45 pairs/group × 8 bands pre-dedup),
+    // so an uncapped row measures the fixture's pair volume, not the
+    // operator — it was the catalog's slowest row and ENOSPC'd the
+    // sf100 sweep. The operator's real scale path is probe-measured on
+    // the documents corpus decades (tools/StreamNearDupProbe, SCALE.md
+    // round-13).
+    val ev = eventsRaw(s, dir).select("event_id").filter(col("event_id") < 100000L)
     val base = math.max(1L, ev.count() / 10L)
     val docs = ev.select(
       col("event_id").as("doc_id"),
@@ -2755,10 +2764,11 @@ object QueryCatalog {
   }
 
   val qStreamNearDupSql: String =
-    """WITH g AS (
+    """WITH e AS (SELECT event_id FROM events WHERE event_id < 100000),
+       g AS (
          SELECT event_id,
-                event_id % GREATEST(1, (SELECT count(*) // 10 FROM events)) AS grp
-         FROM events)
+                event_id % GREATEST(1, (SELECT count(*) // 10 FROM e)) AS grp
+         FROM e)
        SELECT a.event_id AS id, b.event_id AS dup_of,
               CAST(1.0 AS DOUBLE) AS est_jaccard
        FROM g a JOIN g b ON a.grp = b.grp AND b.event_id < a.event_id
