@@ -3842,6 +3842,45 @@ object QueryCatalog {
           FROM toks JOIN counts USING (tok) CROSS JOIN tot
           GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Bigram-LM cross-entropy
+    * ([[graft.text.TextAnalysis.bigramCrossEntropy]]): Jelinek-Mercer
+    * interpolated P(w|v) = 0.75·c(v,w)/c(v·) + 0.25·c(w)/N trained on
+    * the corpus itself, per-doc mean −log2 bits — the rung above the
+    * unigram filter on the CCNet perplexity ladder. hotMin = 50
+    * exercises BOTH routes of the frequency-partitioned bigram join on
+    * the driver corpus; the route-blind oracle rebuilds bigram, prefix,
+    * and unigram counts from scratch.
+    */
+  val qBigramLogprob: Q = (s, dir) =>
+    graft.text.TextAnalysis
+      .bigramCrossEntropy(rebalanced(tbl(s, dir, "documents")), "doc_id", "text", hotMin = 50L)
+
+  val qBigramLogprobSql: String =
+    raw"""WITH arrs AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'), x -> x <> '') AS a
+            FROM documents),
+          toks AS (SELECT doc_id, unnest(a) AS w FROM arrs),
+          cu AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+          tot AS (SELECT count(*) AS t FROM toks),
+          bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(a)), i -> a[i])) AS v,
+                   unnest(list_transform(range(1, len(a)), i -> a[i + 1])) AS w
+            FROM arrs WHERE len(a) >= 2),
+          cb AS (SELECT v, w, count(*) AS cb FROM bg GROUP BY v, w),
+          cp AS (SELECT v, sum(cb) AS cp FROM cb GROUP BY v),
+          scored AS (
+            SELECT bg.doc_id,
+                   0.75 * cb.cb / cp.cp + 0.25 * cu.cu / tot.t AS p
+            FROM bg
+            JOIN cb USING (v, w)
+            JOIN cp USING (v)
+            JOIN cu ON bg.w = cu.w
+            CROSS JOIN tot)
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(avg(-ln(p) / ln(2)), 6) AS bits_per_token
+          FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   /** Exact dedup over a BINARY multimodal column: md5 of real encoded
     * PNG payloads as the duplicate key, keep-first via the
     * hot-key-safe [[graft.dedup.Dedup.exactDedupAggJoin]] (a popular
@@ -4262,6 +4301,7 @@ object QueryCatalog {
     "q_pack_sequences" -> qPackSequences,
     "q_domain_mix" -> qDomainMix,
     "q_unigram_logprob" -> qUnigramLogprob,
+    "q_bigram_logprob" -> qBigramLogprob,
     "q_media_dedup" -> qMediaDedup,
     "q_hard_negatives" -> qHardNegatives,
     "q_sample_review" -> qSampleReview,
@@ -4367,6 +4407,7 @@ object QueryCatalog {
     "q_pack_sequences" -> qPackSequencesSql,
     "q_domain_mix" -> qDomainMixSql,
     "q_unigram_logprob" -> qUnigramLogprobSql,
+    "q_bigram_logprob" -> qBigramLogprobSql,
     "q_media_dedup" -> qMediaDedupSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_sample_review" -> qSampleReviewSql,

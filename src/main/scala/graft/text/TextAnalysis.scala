@@ -277,4 +277,70 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("bits")), 6).as("bits_per_token"))
   }
+
+  /** Bigram-LM cross-entropy per document — the next rung of the CCNet
+    * perplexity ladder above [[unigramCrossEntropy]]: score each
+    * document by the mean −log2 of the INTERPOLATED bigram probability
+    *
+    *   P(w | v) = λ · c(v,w)/c(v·) + (1−λ) · c(w)/N
+    *
+    * with c(v,w) the corpus bigram count, c(v·) the count of bigrams
+    * starting with v, c(w)/N the unigram model (λ default 0.75 —
+    * Jelinek-Mercer interpolation, the standard smoothing that needs
+    * no held-out tuning pass). Trained on the corpus itself, so every
+    * observed bigram has c ≥ 1 and every term is finite. Documents
+    * with fewer than two tokens have no bigrams and are absent from
+    * the output, like zero-token docs in the unigram form.
+    *
+    * Returns (doc_id, n_bigrams, bits_per_token), rounded at 6 dp.
+    *
+    * 100 TB shape: the bigram TYPE table is token-scale, but all the
+    * type-level enrichment (c(v·) prefix sums, the unigram count of
+    * the successor) happens between count tables — no instance
+    * replication. Instances then take ONE frequency-partitioned join
+    * on the (v,w) key, the same broadcast-head/shuffle-tail hybrid as
+    * the unigram filter: "of the" rides the broadcast map, the Zipf
+    * tail (uniform by rarity) takes the shuffle. hotMin only moves
+    * work between routes — the result is invariant (spec-pinned).
+    */
+  def bigramCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.75,
+      hotMin: Long = 1000L
+  ): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda $lambda out of (0, 1]")
+    val arr = df.select(
+      col(idCol).as("doc_id"),
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"), t => length(t) > 0).as("a"))
+    val toks = arr.select(col("doc_id"), explode(col("a")).as("w"))
+    val cu = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    val total = toks.agg(count(lit(1)).as("t"))
+    val bigrams = arr
+      .filter(size(col("a")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("a")) - 1),
+          i => struct(element_at(col("a"), i).as("v"), element_at(col("a"), i + 1).as("w")))).as("bg"))
+      .select(col("doc_id"), col("bg.v").as("v"), col("bg.w").as("w"))
+    val cb = bigrams.groupBy("v", "w").agg(count(lit(1)).as("cb"))
+    val cp = cb.groupBy("v").agg(sum(col("cb")).as("cp"))
+    // type-level enrichment: vocab-scale joins between count tables
+    val bstats = cb.join(cp, Seq("v")).join(cu, Seq("w"))
+    val head = bstats.filter(col("cb") >= hotMin)
+    val tail = bstats.filter(col("cb") < hotMin)
+    val viaHead = bigrams.join(broadcast(head), Seq("v", "w"))
+    val viaTail = bigrams
+      .join(broadcast(head.select(col("v"), col("w"))), Seq("v", "w"), "left_anti")
+      .join(tail, Seq("v", "w"))
+    viaHead.unionByName(viaTail)
+      .crossJoin(broadcast(total))
+      .withColumn("p",
+        lit(lambda) * col("cb").cast("double") / col("cp").cast("double") +
+          lit(1.0 - lambda) * col("cu").cast("double") / col("t").cast("double"))
+      .withColumn("bits", -log(col("p")) / math.log(2.0))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("bits")), 6).as("bits_per_token"))
+  }
 }

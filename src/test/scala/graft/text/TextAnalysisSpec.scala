@@ -172,4 +172,47 @@ class TextAnalysisSpec extends SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"head route should broadcast:\n$plan")
   }
+
+  test("bigramCrossEntropy: hand-computed interpolated bits, route-invariant, short docs absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b"), // bigrams (a,b) (b,a) (a,b)
+      (2L, "a b c"),   // bigrams (a,b) (b,c)
+      (3L, "solo"),    // no bigram → absent
+      (4L, "")         // no tokens → absent
+    ).toDF("doc_id", "text")
+    // cu: a=3 b=3 c=1 solo=1, N=8; cb: (a,b)=3 (b,a)=1 (b,c)=1; cp: a=3 b=2
+    def bits(p: Double) = -math.log(p) / math.log(2.0)
+    def p(cb: Double, cp: Double, cuW: Double) = 0.75 * cb / cp + 0.25 * cuW / 8.0
+    val expect1 = (2 * bits(p(3, 3, 3)) + bits(p(1, 2, 3))) / 3
+    val expect2 = (bits(p(3, 3, 3)) + bits(p(1, 2, 1))) / 2
+    val viaBroadcast = TextAnalysis.bigramCrossEntropy(df, "doc_id", "text", hotMin = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaBroadcast.keySet == Set(1L, 2L), "docs without bigrams must be absent")
+    assert(viaBroadcast(1L)._1 == 3 && viaBroadcast(2L)._1 == 2)
+    assert(math.abs(viaBroadcast(1L)._2 - expect1) < 1e-6, s"${viaBroadcast(1L)._2} vs $expect1")
+    assert(math.abs(viaBroadcast(2L)._2 - expect2) < 1e-6, s"${viaBroadcast(2L)._2} vs $expect2")
+    val viaShuffle = TextAnalysis.bigramCrossEntropy(df, "doc_id", "text", hotMin = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaBroadcast == viaShuffle, "hotMin must only move work, never change the result")
+  }
+
+  test("bigramCrossEntropy on real docs: finite, positive, and below the pure-unigram ceiling") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text", hotMin = 50L)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getDouble(2)
+      assert(b > 0 && java.lang.Double.isFinite(b), s"bits out of range: $r")
+    }
+    // interpolation lower-bounds every p by 0.25·P_uni(w), so bits are
+    // bounded by the unigram bits + 2 (the -log2(0.25) slack)
+    val uni = TextAnalysis.unigramCrossEntropy(docs, "doc_id", "text", hotMin = 50L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val avgBi = rows.map(_.getDouble(2)).sum / rows.length
+    val avgUni = uni.values.sum / uni.size
+    assert(avgBi <= avgUni + 2.0 + 1e-6,
+      s"corpus-average bigram bits $avgBi should sit near/below unigram $avgUni + 2")
+  }
 }
