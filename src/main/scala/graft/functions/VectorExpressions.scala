@@ -754,6 +754,83 @@ case class GroupedNearestPivotCosine(
     copy(left = newLeft, right = newRight)
 }
 
+/** [[GroupedNearestPivotCosine]] with the 3-D matrix stack behind a
+  * BROADCAST VARIABLE — the large-k regime of hierarchical assignment:
+  * with k ∝ n (the SemDeDup recipe) the sub-pivot stack grows without
+  * bound, and a plan literal would ship it in every task closure
+  * (1 GB at k = 4 M, dim 64). Identical contract to the literal
+  * expression (cell clamp, argmax, tie-to-lowest, zero vector → last
+  * sub-pivot), spec-pinned bit-for-bit.
+  */
+case class BroadcastGroupedNearestPivotCosine(
+    left: Expression,
+    right: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Array[Float]]], Array[Array[Double]])])
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(s"grouped_nearest_pivot needs (array<float|double>, int), got $l / $r")
+  }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val mats: Array[Array[Array[Float]]] = bc.value._1
+  @transient private lazy val matNorms: Array[Array[Double]] = bc.value._2
+
+  /** Same algorithm as [[GroupedNearestPivotCosine.nullSafeEval]]. */
+  def evalIdx(a: Any, cell0: Int): Int = {
+    val v = a.asInstanceOf[ArrayData]
+    val cell = math.min(math.max(cell0, 0), mats.length - 1)
+    val m = mats(cell); val pn = matNorms(cell)
+    val nv = v.numElements()
+    val f = isFloat
+    var vn = 0.0
+    var i = 0
+    while (i < nv) {
+      val x = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+      vn += x * x
+      i += 1
+    }
+    if (vn == 0.0) return m.length - 1
+    val vnorm = math.sqrt(vn)
+    var best = Double.NegativeInfinity
+    var bi = m.length - 1
+    var j = 0
+    while (j < m.length) {
+      val p = m(j)
+      val n = math.min(nv, p.length)
+      var d = 0.0
+      var kk = 0
+      while (kk < n) {
+        val x = if (f) v.getFloat(kk).toDouble else v.getDouble(kk)
+        d += x * p(kk).toDouble
+        kk += 1
+      }
+      val cos = d / (vnorm * pn(j))
+      if (cos > best) { best = cos; bi = j }
+      j += 1
+    }
+    bi
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = evalIdx(a, b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bcastGroupedPivot", this,
+      classOf[BroadcastGroupedNearestPivotCosine].getName)
+    defineCodeGen(ctx, ev, (v, c) => s"$ref.evalIdx($v, $c)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** [[NearestPivotCosine]] with the pivot matrix behind a BROADCAST
   * VARIABLE instead of a plan literal. Identical contract (argmax
   * cosine, ties to the lowest index, zero vector → last pivot) —
@@ -977,6 +1054,30 @@ object VectorExpressions {
     GraftBridge.column(GroupedNearestPivotCosine(
       GraftBridge.expression(vec), GraftBridge.expression(cell),
       matrices.map(_.map(_.toSeq))))
+
+  /** Broadcast a grouped (per-cell) pivot stack once per executor,
+    * norms pre-computed like [[broadcastPivots]].
+    */
+  def broadcastGroupedPivots(
+      spark: org.apache.spark.sql.SparkSession,
+      matrices: Seq[Seq[Array[Float]]]
+  ): org.apache.spark.broadcast.Broadcast[(Array[Array[Array[Float]]], Array[Array[Double]])] = {
+    val mats = matrices.map(_.map(_.clone()).toArray).toArray
+    val norms = mats.map(_.map { p =>
+      var s = 0.0; var i = 0
+      while (i < p.length) { s += p(i).toDouble * p(i).toDouble; i += 1 }
+      math.sqrt(s)
+    })
+    spark.sparkContext.broadcast((mats, norms))
+  }
+
+  /** Column wrapper for [[BroadcastGroupedNearestPivotCosine]]. */
+  def bcastGroupedNearestPivotCosine(
+      vec: Column,
+      cell: Column,
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Array[Float]]], Array[Array[Double]])]): Column =
+    GraftBridge.column(BroadcastGroupedNearestPivotCosine(
+      GraftBridge.expression(vec), GraftBridge.expression(cell), bc))
 
   /** Column wrapper for [[Sq8Encode]]. */
   def sq8Encode(vec: Column, mns: Column, mxs: Column): Column =

@@ -26,6 +26,46 @@ import org.apache.spark.sql.functions._
   */
 object HierarchicalKMeans {
 
+  /** Above this sub-pivot stack size (total floats × 4 bytes), grouped
+    * assignment routes through the broadcast-variable expression
+    * instead of a plan literal: with k ∝ n the stack grows without
+    * bound (1 GB at k = 4 M, dim 64) and a literal ships in every task
+    * closure. Identical output either route (spec-pinned).
+    */
+  val MaxLiteralBytes: Long = 1L << 20
+
+  // one broadcast per (session, matrix stack) — keyed by identity so a
+  // model assigned repeatedly in one session ships its stack once
+  private val bcCache = new java.util.WeakHashMap[
+    Seq[Seq[Array[Float]]],
+    org.apache.spark.broadcast.Broadcast[(Array[Array[Array[Float]]], Array[Array[Double]])]]()
+
+  /** Grouped nearest-sub-pivot column with the literal/broadcast route
+    * chosen by stack size — the single entry every assignment site
+    * (train's Lloyd loop, assign, assignMulti) goes through.
+    */
+  private def groupedAssignCol(
+      df: DataFrame,
+      vec: org.apache.spark.sql.Column,
+      cell: org.apache.spark.sql.Column,
+      mats: Seq[Seq[Array[Float]]]): org.apache.spark.sql.Column = {
+    val bytes = mats.iterator.flatten.map(_.length.toLong * 4L).sum
+    if (bytes <= MaxLiteralBytes)
+      VectorExpressions.groupedNearestPivotCosine(vec, cell, mats)
+    else {
+      val bc = bcCache.synchronized {
+        val got = bcCache.get(mats)
+        if (got != null) got
+        else {
+          val b = VectorExpressions.broadcastGroupedPivots(df.sparkSession, mats)
+          bcCache.put(mats, b)
+          b
+        }
+      }
+      VectorExpressions.bcastGroupedNearestPivotCosine(vec, cell, bc)
+    }
+  }
+
   /** Trained model: level-1 cell centroids + per-cell sub-centroid
     * matrices. `clusterId = cell * stride + sub` (stride = max
     * sub-count, so ids are stable even when small cells hold fewer
@@ -94,7 +134,7 @@ object HierarchicalKMeans {
       for (_ <- 1 to iters) {
         val assigned = celled.withColumn(
           "__sub",
-          VectorExpressions.groupedNearestPivotCosine(col("__v"), col("__cell"), mats))
+          groupedAssignCol(celled, col("__v"), col("__cell"), mats))
         val updated = assigned
           .groupBy("__cell", "__sub")
           .agg(VectorAggregates.vectorMean(col("__v")).as("__m"))
@@ -118,7 +158,7 @@ object HierarchicalKMeans {
       .withColumn("__cell", VectorExpressions.nearestPivotCosine(col(vecCol), model.cells))
       .withColumn(clusterCol,
         col("__cell") * model.stride +
-          VectorExpressions.groupedNearestPivotCosine(col(vecCol), col("__cell"), model.subs))
+          groupedAssignCol(df, col(vecCol), col("__cell"), model.subs))
       .drop("__cell")
 
   /** MULTI-PROBE labeling: each row is exploded over its top-`probes`
@@ -139,7 +179,7 @@ object HierarchicalKMeans {
         explode(VectorExpressions.topPivotsCosine(col(vecCol), model.cells, probes)))
       .withColumn(clusterCol,
         col("__cell") * model.stride +
-          VectorExpressions.groupedNearestPivotCosine(col(vecCol), col("__cell"), model.subs))
+          groupedAssignCol(df, col(vecCol), col("__cell"), model.subs))
       .drop("__cell")
   }
 }

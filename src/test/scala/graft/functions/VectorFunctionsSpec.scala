@@ -153,4 +153,22 @@ class VectorFunctionsSpec extends SparkTestBase {
       assert(r.getInt(2) == ref, s"vec ${r.getLong(0)} cell $cell")
     }
   }
+
+  test("BroadcastGroupedNearestPivotCosine is bit-identical to the literal grouped expression") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(150)
+    val mats = (0 until 3).map { c =>
+      e.filter(col("vec_id") >= c * 4 && col("vec_id") < c * 4 + 3).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    }
+    val withCell = e.withColumn("cell", (col("vec_id") % 3).cast("int"))
+      // cell ids outside [0, #cells) must clamp identically on both routes
+      .withColumn("cell", when(col("vec_id") === 0, lit(99)).otherwise(col("cell")))
+    val bc = VectorExpressions.broadcastGroupedPivots(spark, mats)
+    val rows = withCell.select(
+      col("vec_id"),
+      VectorExpressions.groupedNearestPivotCosine(col("embedding"), col("cell"), mats).as("lit"),
+      VectorExpressions.bcastGroupedNearestPivotCosine(col("embedding"), col("cell"), bc).as("bc"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(1) == r.getInt(2), s"vec ${r.getLong(0)}"))
+  }
 }
