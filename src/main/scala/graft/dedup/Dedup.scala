@@ -1225,8 +1225,20 @@ object Dedup {
         explode(transform(sequence(lit(1), size(col("a")) - (n - 1)),
           i => struct(i.as("start"), concat_ws(" ", slice(col("a"), i, lit(n))).as("g")))).as("sg"))
       .select(col("doc_id"), col("sg.start").as("start"), col("sg.g").as("g"))
-    val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")
-    val covered = grams
+    // EXACT hash prefilter (r13 — the sf100 gram shuffle filled the
+    // disk): count 64-bit gram hashes first — collisions can only
+    // INFLATE a hash count, so hash-count == 1 PROVES the gram unique
+    // and hash-count > 1 is an exact superset of the duplicated grams.
+    // The full-stream exchange thus carries 8-byte keys instead of
+    // ~n-token strings, and the string-exact count (which eliminates
+    // any collision survivors) runs only on the duplicated-ish slice.
+    // Output is bit-identical to the direct string count (spec-pinned).
+    val hashed = grams.withColumn("__h", xxhash64(col("g")))
+    val dupHashes = hashed.groupBy("__h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("__h")
+    val candidates = hashed.join(dupHashes, Seq("__h"), "left_semi")
+    val dupGrams = candidates.groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")
+    val covered = candidates
       .join(dupGrams, Seq("g"), "left_semi")
       .select(col("doc_id"), explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
       .distinct()
