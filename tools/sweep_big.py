@@ -78,10 +78,18 @@ def main():
         t1 = time.time()
         c = sh(["python3", f"{REPO}/tools/check_oracles.py", work, sf_dir,
                 skip, str(timeout)])
+        # keep the checker's COMPLETE raw streams: batch 3 of the r13
+        # sf100 sweep lost two verdicts with rc=0 and empty stderr, and
+        # without the raw stdout the loss mode was undiagnosable
+        with open(f"{work}/batch{i // batch_n + 1}.stdout", "w") as f:
+            f.write(c.stdout)
+            f.write("\n--- stderr ---\n")
+            f.write(c.stderr)
         for line in c.stdout.splitlines():
             if line.startswith(("PASS", "FAIL", "TIMEOUT")):
                 print(f"[sweep] {line}", flush=True)
-                results[line.split()[1]] = line.split()[0]
+                # "FAIL name: <reason>" carries a colon on the name
+                results[line.split()[1].rstrip(":")] = line.split()[0]
         if c.returncode not in (0, 1):
             print(f"[sweep] check_oracles rc={c.returncode}: "
                   f"{c.stderr[-2000:]}", flush=True)
