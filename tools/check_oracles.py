@@ -63,6 +63,13 @@ TABLES = [
 
 def connect(sf_dir: str):
     con = duckdb.connect()
+    # the progress bar DuckDB auto-enables on long queries writes
+    # \r-updating bar fragments into our piped stdout, and a verdict
+    # printed after one lands on the same physical line — the sweep's
+    # line parser then never sees it. THIS was the vanished-verdict
+    # mode (r12's two sf100 chunk rows, r13 batch 3): only queries long
+    # enough to trigger the bar lost their verdicts.
+    con.sql("SET enable_progress_bar=false")
     # spill instead of dying on big-corpus oracles; fresh connection
     # per query (below) so one OOM cannot poison the rest of the sweep
     # (observed at sf10: one exhausted pool made every later query fail
