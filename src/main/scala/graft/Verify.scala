@@ -20,19 +20,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dump partitioning: repartition(1), NOT coalesce(1): coalesce
+    // folds the whole upstream pipeline into the single output task,
+    // so any map-only query (clean battery, PII scrub, language id
+    // ...) would run one-threaded over the full corpus — hours at
+    // sf10. The round-robin shuffle keeps computation parallel and
+    // only the final file write single-tasked; the driver compare
+    // sorts rows, so output order is immaterial.
+    //
+    // GRAFT_VERIFY_NPARTS=0 drops the repartition entirely (natural
+    // partitioning, one file per task): the single-file funnel heap-
+    // OOM'd on a ~608M-row dump at sf100 (round 13's
+    // q_embed_neardup_adaptive crash, which took 5 bystander rows'
+    // verdicts with it), and every consumer — the driver compare and
+    // tools/check_oracles.py — globs <name>/*.parquet, so file count
+    // is immaterial to them. The default stays 1 (the driver's
+    // small-sf contract); tools/sweep_big.py sets 0.
+    val nparts = sys.env.getOrElse("GRAFT_VERIFY_NPARTS", "1").toInt
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      // repartition(1), NOT coalesce(1): coalesce folds the whole
-      // upstream pipeline into the single output task, so any map-only
-      // query (clean battery, PII scrub, language id ...) would run
-      // one-threaded over the full corpus — hours at sf10. The
-      // round-robin shuffle keeps computation parallel and only the
-      // final file write single-tasked; the driver compare sorts rows,
-      // so output order is immaterial.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        val shaped = if (nparts > 0) out.repartition(nparts) else out
+        shaped.write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

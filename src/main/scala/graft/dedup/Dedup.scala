@@ -1202,19 +1202,42 @@ object Dedup {
     * is scrubbed entirely.
     *
     * 100 TB shape: gram counting is ONE map-side-combinable aggregate;
-    * duplicated-gram membership is a semi-join on the gram string; the
-    * covered-position set is a distinct (doc, pos) aggregate; and the
-    * rebuild is a per-document collect_list (bounded by document
-    * length — the operator's natural granularity). No windows, no
-    * all-pairs: a boilerplate gram shared by 10^8 documents costs one
-    * reduced count row plus its own occurrences, never a funnel.
-    * ExactSubstr proper uses a corpus suffix array to catch arbitrary-
-    * length duplicates ≥ 50 tokens; fixed-n grams are its bounded,
-    * join-expressible form — any duplicated span ≥ n tokens is fully
-    * covered by its n-windows, shorter ones are deliberately kept.
+    * duplicated-gram membership is a semi-join on the gram string; and
+    * the rebuild is a SPAN-MERGE — the duplicated-gram start positions
+    * aggregate per document (a collect_set bounded by document length),
+    * and one sorted walk over them inside a higher-order `aggregate`
+    * merges overlapping [start, start+n-1] covers and splices the kept
+    * slices out of the already-materialized token array. No per-
+    * position explode, no (doc, pos) distinct, no token-stream
+    * anti-join: the round-13 form shipped 8 exchange rows per covered
+    * gram occurrence plus the full token stream twice, which is what
+    * filled the sweep host's disk at sf100 — the span walk ships one
+    * integer per duplicated-gram occurrence and nothing else. No
+    * windows, no all-pairs: a boilerplate gram shared by 10^8
+    * documents costs one reduced count row plus its own occurrences,
+    * never a funnel. ExactSubstr proper uses a corpus suffix array to
+    * catch arbitrary-length duplicates ≥ 50 tokens; fixed-n grams are
+    * its bounded, join-expressible form — any duplicated span ≥ n
+    * tokens is fully covered by its n-windows, shorter ones are
+    * deliberately kept.
+    *
+    * `hashPrefilter` — the EXACT 64-bit prefilter on the gram count:
+    * collisions can only INFLATE a hash count, so hash-count == 1
+    * PROVES a gram unique and hash-count > 1 is an exact superset of
+    * the duplicated grams; the full-stream exchange then carries
+    * 8-byte keys instead of ~n-token strings and the string-exact
+    * count (which eliminates collision survivors) runs only on the
+    * duplicated-ish slice. That trade WINS only when most grams are
+    * unique and the stream is big — on a small corpus the extra
+    * hash-count pass is pure overhead (it cost the graded row +65% at
+    * sf0.1 in round 13) — so the default sizes it from a document
+    * count ([[graft.tune.AdaptiveKnobs]] discipline): on above
+    * [[Dedup.ScrubPrefilterMinDocs]] documents, off below. Output is
+    * bit-identical either way (spec-pinned).
     */
   def scrubDuplicateSpans(
-      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8,
+      hashPrefilter: Option[Boolean] = None): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     val arrs = df.select(
       col(idCol).as("doc_id"),
@@ -1225,40 +1248,54 @@ object Dedup {
         explode(transform(sequence(lit(1), size(col("a")) - (n - 1)),
           i => struct(i.as("start"), concat_ws(" ", slice(col("a"), i, lit(n))).as("g")))).as("sg"))
       .select(col("doc_id"), col("sg.start").as("start"), col("sg.g").as("g"))
-    // EXACT hash prefilter (r13 — the sf100 gram shuffle filled the
-    // disk): count 64-bit gram hashes first — collisions can only
-    // INFLATE a hash count, so hash-count == 1 PROVES the gram unique
-    // and hash-count > 1 is an exact superset of the duplicated grams.
-    // The full-stream exchange thus carries 8-byte keys instead of
-    // ~n-token strings, and the string-exact count (which eliminates
-    // any collision survivors) runs only on the duplicated-ish slice.
-    // Output is bit-identical to the direct string count (spec-pinned).
-    val hashed = grams.withColumn("__h", xxhash64(col("g")))
-    val dupHashes = hashed.groupBy("__h").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("__h")
-    val candidates = hashed.join(dupHashes, Seq("__h"), "left_semi")
+    val usePrefilter =
+      hashPrefilter.getOrElse(df.count() > ScrubPrefilterMinDocs)
+    val candidates =
+      if (!usePrefilter) grams
+      else {
+        val hashed = grams.withColumn("__h", xxhash64(col("g")))
+        val dupHashes = hashed.groupBy("__h").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select("__h")
+        hashed.join(dupHashes, Seq("__h"), "left_semi").drop("__h")
+      }
     val dupGrams = candidates.groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")
-    val covered = candidates
+    // per-doc sorted duplicated-gram starts; each covers [st, st+n-1]
+    val dupStarts = candidates
       .join(dupGrams, Seq("g"), "left_semi")
-      .select(col("doc_id"), explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
-      .distinct()
-    val toks = arrs
-      .select(col("doc_id"), posexplode(col("a")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-    val rebuilt = toks
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
-      .agg(
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))), s => s("tok")))
-          .as("__ct"),
-        count(lit(1)).as("__nk"))
+      .agg(sort_array(collect_set(col("start"))).as("ss"))
+    // one walk over the sorted starts: pe = end of the merged cover so
+    // far (starts ascending ⇒ st+n-1 is monotone, so pe just advances);
+    // the kept tokens are the slices strictly between consecutive
+    // merged spans plus the tail after the last one
+    val kept = aggregate(
+      col("ss"),
+      struct(lit(0).as("pe"), slice(col("a"), lit(1), lit(0)).as("kept")),
+      (acc, st) => struct(
+        (st + (n - 1)).as("pe"),
+        when(st > acc("pe") + 1,
+          concat(acc("kept"), slice(col("a"), acc("pe") + 1, st - acc("pe") - 1)))
+          .otherwise(acc("kept")).as("kept")),
+      acc => concat(acc("kept"),
+        slice(col("a"), acc("pe") + 1, greatest(size(col("a")) - acc("pe"), lit(0)))))
     arrs
-      .select(col("doc_id"), size(col("a")).cast("long").as("__nt"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .join(dupStarts, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        coalesce(col("__ct"), lit("")).as("clean_text"),
-        (col("__nt") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
+        when(col("ss").isNull, col("a")).otherwise(kept).as("__k"),
+        size(col("a")).cast("long").as("__nt"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("__k")).as("clean_text"),
+        (col("__nt") - size(col("__k")).cast("long")).as("n_removed"))
   }
+
+  /** Document count above which [[scrubDuplicateSpans]] turns its hash
+    * prefilter on by default: below it the gram exchange is small
+    * enough that the extra hash-count pass costs more than the string
+    * bytes it saves (measured +65% on the 5k-doc graded row, round
+    * 13); above it the 8-byte keys are what keep the full-stream
+    * exchange inside a disk budget at the 10^8-document decades.
+    */
+  val ScrubPrefilterMinDocs: Long = 1L << 20
 }

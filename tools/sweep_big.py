@@ -40,7 +40,12 @@ def main():
     timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 900
     os.makedirs(work, exist_ok=True)
     verify_env = {"SPARK_GRAFT_CPUS": "32",
-                  "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "48g")}
+                  "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "48g"),
+                  # natural-partitioned dumps: the repartition(1) funnel
+                  # heap-OOM'd a 608M-row dump in the r13 sf100 sweep and
+                  # cost 5 bystander rows their verdicts; check_oracles
+                  # globs *.parquet so file count is immaterial
+                  "GRAFT_VERIFY_NPARTS": "0"}
 
     # bootstrap: one cheap row dumps oracle_sql.json (the name universe)
     r = sh([f"{REPO}/tools/run_main.sh", "graft.Verify", sf_dir, work,
@@ -56,7 +61,16 @@ def main():
         if unknown:
             print(f"[sweep] unknown rows in only_csv: {sorted(unknown)}")
             sys.exit(2)
+        # a BY_DESIGN request would pass name validation but sweep zero
+        # rows and exit 0 — a silent false-green (ADVICE r13)
+        by_design = only & set(BY_DESIGN)
+        if by_design:
+            print(f"[sweep] only_csv rows are by-design skips: {sorted(by_design)}")
+            sys.exit(2)
         todo = [n for n in todo if n in only]
+    if not todo:
+        print("[sweep] nothing to sweep (empty todo) — refusing to exit green")
+        sys.exit(2)
     print(f"[sweep] {len(todo)} rows to check ({len(BY_DESIGN)} by-design skips), "
           f"batch={batch_n}, per-oracle timeout={timeout}s", flush=True)
 
