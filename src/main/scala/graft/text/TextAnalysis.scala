@@ -254,25 +254,32 @@ object TextAnalysis {
     * per-doc aggregate then partial-aggregates map-side, so no
     * reducer ever sees a hot token's full instance stream. `hotMin`
     * only moves work between the two paths — the result is invariant
-    * (spec-pinned by running both extremes).
+    * (spec-pinned by running both extremes); `hotMin ≤ 0` (the
+    * default) sizes it from the token count via
+    * [[graft.tune.AdaptiveKnobs.hotMin]], bounding the broadcast head
+    * at ~2^20 types no matter the corpus (a FIXED threshold's head is
+    * worst-case n/threshold types — unbounded at trillions of
+    * tokens). The token count doubles as the model's T, so the sizing
+    * scan replaces the total-count subtree rather than adding one.
     */
   def unigramCrossEntropy(
-      df: DataFrame, idCol: String, textCol: String, hotMin: Long = 1000L): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, hotMin: Long = 0L): DataFrame = {
     val toks = df.select(
       col(idCol).as("doc_id"),
       explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"), t => length(t) > 0))
         .as("tok"))
+    // one map-side-combinable count: T for the model AND n for the knob
+    val nTok = toks.count()
+    val hm = if (hotMin > 0) hotMin else graft.tune.AdaptiveKnobs.hotMin()(nTok)
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum(col("c")).as("t"))
-    val head = counts.filter(col("c") >= hotMin)
-    val tail = counts.filter(col("c") < hotMin)
+    val head = counts.filter(col("c") >= hm)
+    val tail = counts.filter(col("c") < hm)
     val viaHead = toks.join(broadcast(head), Seq("tok"), "inner")
     val viaTail = toks
       .join(broadcast(head).select(col("tok")), Seq("tok"), "left_anti")
       .join(tail, Seq("tok"))
     val scored = viaHead.unionByName(viaTail)
-      .crossJoin(broadcast(total))
-      .withColumn("bits", -log(col("c").cast("double") / col("t").cast("double")) / math.log(2.0))
+      .withColumn("bits", -log(col("c").cast("double") / lit(nTok).cast("double")) / math.log(2.0))
     scored
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("bits")), 6).as("bits_per_token"))
@@ -301,14 +308,20 @@ object TextAnalysis {
     * on the (v,w) key, the same broadcast-head/shuffle-tail hybrid as
     * the unigram filter: "of the" rides the broadcast map, the Zipf
     * tail (uniform by rarity) takes the shuffle. hotMin only moves
-    * work between routes — the result is invariant (spec-pinned).
+    * work between routes — the result is invariant (spec-pinned);
+    * `hotMin ≤ 0` (the default) sizes it from the token count via
+    * [[graft.tune.AdaptiveKnobs.hotMin]] — bigram instances ≤ token
+    * count, so the broadcast head stays ≤ ~2^20 types at any corpus
+    * size (the round-13 verdict's fixed-knob watch item). The token
+    * count doubles as the interpolation's N, so the sizing scan
+    * replaces the total-count subtree rather than adding one.
     */
   def bigramCrossEntropy(
       df: DataFrame,
       idCol: String,
       textCol: String,
       lambda: Double = 0.75,
-      hotMin: Long = 1000L
+      hotMin: Long = 0L
   ): DataFrame = {
     require(lambda > 0.0 && lambda <= 1.0, s"lambda $lambda out of (0, 1]")
     val arr = df.select(
@@ -316,7 +329,10 @@ object TextAnalysis {
       filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"), t => length(t) > 0).as("a"))
     val toks = arr.select(col("doc_id"), explode(col("a")).as("w"))
     val cu = toks.groupBy("w").agg(count(lit(1)).as("cu"))
-    val total = toks.agg(count(lit(1)).as("t"))
+    // one map-side-combinable count: N for the unigram term AND the
+    // knob's n (bigram instances are strictly fewer than tokens)
+    val nTok = toks.count()
+    val hm = if (hotMin > 0) hotMin else graft.tune.AdaptiveKnobs.hotMin()(nTok)
     val bigrams = arr
       .filter(size(col("a")) >= 2)
       .select(
@@ -328,17 +344,16 @@ object TextAnalysis {
     val cp = cb.groupBy("v").agg(sum(col("cb")).as("cp"))
     // type-level enrichment: vocab-scale joins between count tables
     val bstats = cb.join(cp, Seq("v")).join(cu, Seq("w"))
-    val head = bstats.filter(col("cb") >= hotMin)
-    val tail = bstats.filter(col("cb") < hotMin)
+    val head = bstats.filter(col("cb") >= hm)
+    val tail = bstats.filter(col("cb") < hm)
     val viaHead = bigrams.join(broadcast(head), Seq("v", "w"))
     val viaTail = bigrams
       .join(broadcast(head.select(col("v"), col("w"))), Seq("v", "w"), "left_anti")
       .join(tail, Seq("v", "w"))
     viaHead.unionByName(viaTail)
-      .crossJoin(broadcast(total))
       .withColumn("p",
         lit(lambda) * col("cb").cast("double") / col("cp").cast("double") +
-          lit(1.0 - lambda) * col("cu").cast("double") / col("t").cast("double"))
+          lit(1.0 - lambda) * col("cu").cast("double") / lit(nTok).cast("double"))
       .withColumn("bits", -log(col("p")) / math.log(2.0))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("bits")), 6).as("bits_per_token"))

@@ -114,6 +114,35 @@ object AdaptiveKnobs {
       })
   }
 
+  /** A Long-valued sized knob — same contract as [[Sized]] for
+    * thresholds that are themselves counts (and can therefore outgrow
+    * Int on a trillion-token corpus).
+    */
+  final case class SizedLong(lo: Long, hi: Long, raw: Long => Long) extends (Long => Long) {
+    require(lo <= hi, s"knob bounds inverted: [$lo, $hi]")
+    def apply(n: Long): Long =
+      math.min(hi, math.max(lo, raw(math.max(0L, n))))
+  }
+
+  /** Hot-key threshold for the broadcast-head / shuffle-tail hybrid
+    * join (graft.text.TextAnalysis unigram/bigram cross-entropy):
+    * ceil(n / targetHeadTypes), floored at the historical 1000. Keys
+    * with count ≥ threshold number at most n / threshold ≤
+    * targetHeadTypes, so the BROADCAST side is bounded in corpus size
+    * by construction — a fixed threshold's head is worst-case
+    * n / 1000 types, which outgrows any broadcast at trillions of
+    * tokens (the round-13 verdict's q_bigram_logprob watch item).
+    * Default 2^20 head types ≈ tens of MB of (key, counts) rows.
+    * The threshold only moves instances between routes — results are
+    * route-blind (spec-pinned at both extremes by the operators).
+    */
+  def hotMin(targetHeadTypes: Long = 1L << 20): SizedLong = {
+    require(targetHeadTypes > 0, "targetHeadTypes must be positive")
+    SizedLong(
+      1000L, Long.MaxValue,
+      n => n / targetHeadTypes + (if (n % targetHeadTypes > 0) 1L else 0L))
+  }
+
   /** Embedding sign-LSH key width (graft.dedup.Dedup): bits ∝ log2 of
     * the bucket count that keeps expected per-bucket population at
     * `targetBucketRows` — so bucket population is flat at any corpus

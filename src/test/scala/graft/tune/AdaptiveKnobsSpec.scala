@@ -37,6 +37,30 @@ class AdaptiveKnobsSpec extends AnyFunSuite {
     contract("trainShards(target=100)", AdaptiveKnobs.trainShards(100L))
   }
 
+  private def contractLong(name: String, knob: AdaptiveKnobs.SizedLong): Unit = {
+    val vals = sweep.map(knob)
+    vals.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, s"$name not monotone: $a > $b")
+      case _         =>
+    }
+    vals.foreach(v => assert(v >= knob.lo && v <= knob.hi, s"$name out of [$knob.lo,$knob.hi]: $v"))
+    assert(knob(-1L) == knob(0L))
+  }
+
+  test("hotMin: shared contract + anchors (floor 1000, head ≤ targetHeadTypes)") {
+    contractLong("hotMin", AdaptiveKnobs.hotMin())
+    contractLong("hotMin(target=1000)", AdaptiveKnobs.hotMin(1000L))
+    val k = AdaptiveKnobs.hotMin(1L << 20)
+    assert(k(0L) == 1000L && k(1L << 20) == 1000L) // small corpora keep the historical 1000
+    assert(k(1L << 40) == (1L << 20))              // a trillion tokens → threshold 2^20
+    assert(k((1L << 40) + 1) == (1L << 20) + 1)    // ceil
+    // the property the knob exists for: keys with count ≥ hotMin number
+    // at most n / hotMin ≤ targetHeadTypes once past the floor regime
+    Seq(1L << 30, 1L << 40, 1L << 50, Long.MaxValue).foreach { n =>
+      assert(n / k(n) <= (1L << 20), s"head bound violated at n=$n")
+    }
+  }
+
   test("trainShards anchors: ceil(n/target), floor 1, 2^24 cap") {
     val k = AdaptiveKnobs.trainShards(1L << 20)
     assert(k(0L) == 1 && k(1L) == 1)
