@@ -34,11 +34,17 @@ object HierarchicalKMeans {
     */
   val MaxLiteralBytes: Long = 1L << 20
 
-  // one broadcast per (session, matrix stack) — keyed by identity so a
-  // model assigned repeatedly in one session ships its stack once
+  // one broadcast per (SparkContext, matrix stack) — keyed weakly on
+  // the stack so a model assigned repeatedly in one session ships its
+  // stack once. The owning context is validated on every hit: a
+  // Broadcast created under a stopped session is dead (executors of a
+  // NEW context cannot fetch its blocks), and destroyed broadcasts are
+  // invalid — either condition evicts the entry and re-broadcasts
+  // under the caller's context (ADVICE r13).
   private val bcCache = new java.util.WeakHashMap[
     Seq[Seq[Array[Float]]],
-    org.apache.spark.broadcast.Broadcast[(Array[Array[Array[Float]]], Array[Array[Double]])]]()
+    (org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[(Array[Array[Array[Float]]], Array[Array[Double]])])]()
 
   /** Grouped nearest-sub-pivot column with the literal/broadcast route
     * chosen by stack size — the single entry every assignment site
@@ -53,12 +59,13 @@ object HierarchicalKMeans {
     if (bytes <= MaxLiteralBytes)
       VectorExpressions.groupedNearestPivotCosine(vec, cell, mats)
     else {
+      val sc = df.sparkSession.sparkContext
       val bc = bcCache.synchronized {
         val got = bcCache.get(mats)
-        if (got != null) got
+        if (got != null && (got._1 eq sc) && !got._1.isStopped) got._2
         else {
           val b = VectorExpressions.broadcastGroupedPivots(df.sparkSession, mats)
-          bcCache.put(mats, b)
+          bcCache.put(mats, (sc, b))
           b
         }
       }

@@ -84,9 +84,14 @@ object IvfIndex {
     * iteration instead of n·k) + a map-only dense relabel. Assignment
     * is cosine (the vector family's metric); the IVF bound needs only
     * that radii are measured from ACTUAL membership, so exactness is
-    * unaffected. The sparse cell·stride+sub ids densify through a
-    * small literal map so `cluster_id` indexes the centroid array,
-    * like the flat path.
+    * unaffected. The sparse cell·stride+sub ids densify
+    * ARITHMETICALLY: dense = cellOffset(cell) + sub, with the per-cell
+    * offsets (a √k-entry prefix-sum array — 2000 ints at k = 4M)
+    * shipped as a tiny literal indexed in O(1). The round-13 form used
+    * a k-entry Catalyst map literal, which both grows the plan with
+    * nlist and linear-scans k entries per row (Catalyst map literals
+    * have no hash lookup) — reintroducing at the relabel step the
+    * per-task cost the broadcast-pivot route removes (ADVICE r13).
     */
   private def buildHierarchical(
       corpus: DataFrame,
@@ -104,14 +109,15 @@ object IvfIndex {
     }
     val model = HierarchicalKMeans.train(
       floatCorpus, vecCol, nlist, seed = seed, sampleTarget = fitSampleTarget)
-    val rawIds = for ((m, c) <- model.subs.zipWithIndex; s <- m.indices)
-      yield c * model.stride + s
-    val centroids = model.flatten.toArray // same (cell, sub) iteration order as rawIds
-    val remap = map(rawIds.zipWithIndex.flatMap {
-      case (r, d) => Seq(lit(r), lit(d))
-    }: _*)
+    val centroids = model.flatten.toArray // (cell, sub) iteration order
+    // dense(cell, sub) = Σ |subs(c)| for c < cell, + sub — the same
+    // mapping the (cell, sub)-ordered flatten above gives the centroids
+    val offsets = model.subs.map(_.size).scanLeft(0)(_ + _).init
+    val offArr = array(offsets.map(lit(_)): _*)
     val labeled = HierarchicalKMeans.assign(floatCorpus, vecCol, model, "__raw")
-      .withColumn("cluster_id", element_at(remap, col("__raw")))
+      .withColumn("cluster_id",
+        element_at(offArr, (col("__raw") / model.stride).cast("int") + 1) +
+          col("__raw") % model.stride)
       .drop("__raw")
     (labeled, centroids)
   }
