@@ -4195,6 +4195,30 @@ object QueryCatalog {
               CAST(row_number() OVER (PARTITION BY b % 8 ORDER BY b, doc_id) AS INT) AS pos
        FROM h"""
 
+  /** Boundary-fixture documents for the composed Gopher filter
+    * (VERDICT r13 #7): each pair sits exactly AT and just above one
+    * repetition threshold — top-3-gram 99/550 = 0.18 vs 99/544,
+    * top-2-gram 70/350 = 0.20 vs 70/345, dup-5-gram 48/320 = 0.15 vs
+    * 48/318, dup-line-char 28/140 = 0.20 vs 28/139 — plus the
+    * stop-word rule at exactly 1 vs 2 distinct hits on otherwise
+    * identical docs. Every doc passes every OTHER rule, so each flip
+    * is single-rule-attributable in the graded columns. Constructed
+    * and validated by tools/gen_gopher_boundary.py (a faithful replica
+    * of both rule families; re-run it when editing these strings).
+    * Negative doc_ids cannot collide with any corpus at any sf.
+    */
+  private val gopherBoundaryDocs: Seq[(Long, String)] = Seq(
+    (-1L, "the and foo bar baz w000a foo bar baz x001a foo bar baz y002a foo bar baz z003a foo bar baz q004a foo bar baz v005a foo bar baz w006a foo bar baz x007a foo bar baz y008a q100ab v101ab w102ab x103ab y104ab z105ab q106ab v107ab w108ab x109ab y110ab z111ab q112ab v113ab w114ab x115ab y116ab z117ab q118ab v119ab w120ab x121ab y122ab z123ab q124ab v125ab w126ab x127ab y128ab z129ab q130ab v131ab w132ab x133ab y134ab z135ab q136ab v137ab w138ab x139ab y140ab z141ab q142ab v143ab w144ab x145ab y146ab z147ab q148ab v149ab w150ab x151abcdefghij y152abcd"),
+    (-2L, "the and foo bar baz w000a foo bar baz x001a foo bar baz y002a foo bar baz z003a foo bar baz q004a foo bar baz v005a foo bar baz w006a foo bar baz x007a foo bar baz y008a q100ab v101ab w102ab x103ab y104ab z105ab q106ab v107ab w108ab x109ab y110ab z111ab q112ab v113ab w114ab x115ab y116ab z117ab q118ab v119ab w120ab x121ab y122ab z123ab q124ab v125ab w126ab x127ab y128ab z129ab q130ab v131ab w132ab x133ab y134ab z135ab q136ab v137ab w138ab x139ab y140ab z141ab q142ab v143ab w144ab x145ab y146ab z147ab q148ab v149ab w150abcdefghij x151abcde"),
+    (-3L, "the and foo bar y020a foo bar z021a foo bar q022a foo bar v023a foo bar w024a foo bar x025a foo bar y026a foo bar z027a foo bar q028a foo bar v029a y200ab z201ab q202ab v203ab w204ab x205ab y206ab z207ab q208ab v209ab w210ab x211ab y212ab z213ab q214ab v215ab w216ab x217ab y218ab z219ab q220ab v221ab w222ab x223ab y224ab z225abcdefghij q226abcdefgh"),
+    (-4L, "the and foo bar y020a foo bar z021a foo bar q022a foo bar v023a foo bar w024a foo bar x025a foo bar y026a foo bar z027a foo bar q028a foo bar v029a y200ab z201ab q202ab v203ab w204ab x205ab y206ab z207ab q208ab v209ab w210ab x211ab y212ab z213ab q214ab v215ab w216ab x217ab y218ab z219ab q220ab v221ab w222ab x223ab y224abcdefghij z225abcdefghij"),
+    (-5L, "the and aaaa bbbb cccc dddd eeee q040a aaaa bbbb cccc dddd eeee w300ab x301ab y302ab z303ab q304ab v305ab w306ab x307ab y308ab z309ab q310ab v311ab w312ab x313ab y314ab z315ab q316ab v317ab w318ab x319ab y320ab z321ab q322ab v323ab w324ab x325ab y326ab z327ab q328ab v329ab w330ab x331ab y332ab z333abcdefghij q334abcdef"),
+    (-6L, "the and aaaa bbbb cccc dddd eeee q040a aaaa bbbb cccc dddd eeee w300ab x301ab y302ab z303ab q304ab v305ab w306ab x307ab y308ab z309ab q310ab v311ab w312ab x313ab y314ab z315ab q316ab v317ab w318ab x319ab y320ab z321ab q322ab v323ab w324ab x325ab y326ab z327ab q328ab v329ab w330ab x331ab y332ab z333abcdefghij q334abcd"),
+    (-7L, "copyrightfooterallrightskept\nthe aa bb cc and\nmno pqr stu vwx yzz klm nop qrs tuv\ncopyrightfooterallrightskept\nwxy zab cde fgh ijk lmn opq rstuv"),
+    (-8L, "copyrightfooterallrightskept\nthe aa bb cc and\nmno pqr stu vwx yzz klm nop qrs tuv\ncopyrightfooterallrightskept\nwxy zab cde fgh ijk lmn opq rstu"),
+    (-9L, "the q400ab v401ab w402ab x403ab y404ab z405ab q406ab v407ab w408ab x409ab y410ab z411ab q412ab v413ab w414ab x415ab y416ab z417ab q418ab v419ab w420ab"),
+    (-10L, "the q400ab v401ab w402ab x403ab y404ab z405ab q406ab v407ab w408ab x409ab y410ab z411ab q412ab v413ab w414ab x415ab y416ab z417ab q418ab v419ab w420ab and"))
+
   /** The COMPLETE Gopher quality filter
     * ([[graft.quality.GopherRules.withGopherKeep]]): the structural
     * battery, the FULL five-threshold repetition verdict (top-3-gram
@@ -4204,14 +4228,22 @@ object QueryCatalog {
     * structural and repetition replays are the same SQL the
     * q_gopher_rules / q_repetition rows grade, joined with a
     * list_intersect stop-word count — so a green row certifies the
-    * COMPOSITION, not just the parts.
+    * COMPOSITION, not just the parts. The corpus is unioned with
+    * [[gopherBoundaryDocs]], replayed as literal VALUES in the oracle,
+    * so the diff certifies the threshold BOUNDARIES (≤ keeps exactly
+    * at each published value), not just the bulk — the graded corpus
+    * alone only exercises the rules far from their edges.
     */
-  val qGopherFull: Q = (s, dir) =>
+  val qGopherFull: Q = (s, dir) => {
+    import s.implicits._
+    val base = rebalanced(tbl(s, dir, "documents")).select(col("doc_id"), col("text"))
+    val fixture = gopherBoundaryDocs.toDF("doc_id", "text")
     graft.quality.GopherRules
-      .withGopherKeep(rebalanced(tbl(s, dir, "documents")), "text")
+      .withGopherKeep(base.unionByName(fixture), "text")
       .select(
         col("doc_id"), col("n_words"), col("keep_structural"),
         col("keep_repetition"), col("stopword_hits"), col("keep"))
+  }
 
   val qGopherFullSql: String = {
     import graft.text.RepetitionStats._
@@ -4220,7 +4252,16 @@ object QueryCatalog {
             AND r.top2gram_char_frac <= $MaxTop2Frac AND r.top3gram_char_frac <= $MaxTop3Frac
             AND r.dup5gram_char_frac <= $MaxDup5Frac)"""
     val stopList = graft.quality.GopherRules.StopWords.map(w => s"'$w'").mkString(", ")
-    s"""SELECT s.doc_id, s.n_words,
+    // the boundary fixture as literal VALUES; newlines via chr(10) so
+    // the SQL string stays single-line for the JSON dump
+    val values = gopherBoundaryDocs
+      .map { case (id, t) => s"($id, '${t.replace("\n", "' || chr(10) || '")}')" }
+      .mkString(",\n              ")
+    // every component subquery reads FROM documents; route them all
+    // through the unioned CTE instead (gdocs shadows nothing — the
+    // name is unique to this row)
+    val body =
+      s"""SELECT s.doc_id, s.n_words,
           s.keep AS keep_structural,
           $repKeep AS keep_repetition,
           CAST(w.hits AS INT) AS stopword_hits,
@@ -4234,6 +4275,12 @@ object QueryCatalog {
                   [$stopList])) AS hits
               FROM documents) w USING (doc_id)
         ORDER BY s.doc_id"""
+    s"""WITH gdocs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES
+              $values) t(doc_id, text))
+        ${body.replace("FROM documents", "FROM gdocs")}"""
   }
 
   /** The streaming ingest family's windowed aggregation
