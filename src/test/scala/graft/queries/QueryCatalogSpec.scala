@@ -143,4 +143,15 @@ class QueryCatalogSpec extends SparkTestBase {
     assert(row.getBoolean(1), "rewritten result diverged from the explicit IVF path")
     assert(row.getBoolean(2), "nprobe did not prune (nprobe >= nlist)")
   }
+
+  test("replica-0-capped rows push the doc_id cap into the parquet scan (r14)") {
+    // the cap exists so the sf100 graded slice stays fixed-density; if
+    // it ever stops reaching the scan (e.g. slipped above a
+    // repartition), every decade pays a full-corpus read again
+    for (name <- Seq("q_scrub_spans", "q_simhash", "q_simhash_fast")) {
+      val plan = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+      assert(plan.contains("LessThan(doc_id,5000)"),
+        s"$name must push the replica-0 cap to the scan (PushedFilters):\n$plan")
+    }
+  }
 }
