@@ -202,8 +202,7 @@ if fail:
 
 print("\n--- Scala fixture entries ---")
 for name in ids:
-    print(f'      ({ids[name]}L, "{docs[name]}".replace("|", chr(10))' if False else
-          f'      ({ids[name]}L, {docs[name]!r}),'.replace("'", '"'))
+    print(f'      ({ids[name]}L, {docs[name]!r}),'.replace("'", '"'))
 print("\n--- SQL VALUES ---")
 for name in ids:
     t = docs[name].replace("\n", "' || chr(10) || '")
