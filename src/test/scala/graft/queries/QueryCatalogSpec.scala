@@ -148,7 +148,13 @@ class QueryCatalogSpec extends SparkTestBase {
     // the cap exists so the sf100 graded slice stays fixed-density; if
     // it ever stops reaching the scan (e.g. slipped above a
     // repartition), every decade pays a full-corpus read again
-    for (name <- Seq("q_scrub_spans", "q_simhash", "q_simhash_fast")) {
+    // q_dedup_clusters and q_search_facade are capped too but end in
+    // checkpoints (star-contraction rounds / the batch-search bracket),
+    // so their FINAL plans are Scan ExistingRDD — the cap's pushdown
+    // there is the same filter-before-rebalance pattern, certified by
+    // their oracles' row counts instead
+    for (name <- Seq("q_scrub_spans", "q_simhash", "q_simhash_fast",
+      "q_ngram_jaccard", "q_minhash_lsh", "q_pipeline_e2e")) {
       val plan = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
       assert(plan.contains("LessThan(doc_id,5000)"),
         s"$name must push the replica-0 cap to the scan (PushedFilters):\n$plan")

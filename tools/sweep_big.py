@@ -11,8 +11,11 @@ Usage: python3 tools/sweep_big.py <sf_dir> <work_dir> [batch=6] [timeout=900] [o
 only_csv: optional comma-separated row names — restricts the sweep to
 those rows (used to front-load the newest rows in a long sf100 run).
 
-By-design skips (the deliberately all-pairs DuckDB references, quadratic
-in corpus size): q_ngram_jaccard, q_minhash_lsh, q_dedup_clusters.
+The BY_DESIGN skip list is empty since round 14: the three formerly
+skipped rows (q_ngram_jaccard, q_minhash_lsh, q_dedup_clusters — whose
+oracles are deliberately all-pairs) now grade a replica-0 slice, so
+their exhaustive references are decade-invariant. The mechanism stays
+for any future genuinely unsweepable row.
 """
 import json
 import os
@@ -21,7 +24,7 @@ import subprocess
 import sys
 import time
 
-BY_DESIGN = ["q_ngram_jaccard", "q_minhash_lsh", "q_dedup_clusters"]
+BY_DESIGN: list = []
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
