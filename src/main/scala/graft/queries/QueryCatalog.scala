@@ -985,18 +985,18 @@ object QueryCatalog {
     * still has recall 1.0 AND that the distributed label propagation
     * computed the same components as a from-first-principles closure.
     *
-    * Graded slice capped at the replica-0 documents (doc_id < 5000 =
-    * the full sf0.1 corpus at every decade; no-op at driver sfs): the
-    * oracle is DELIBERATELY the exhaustive all-pairs Jaccard self-join
-    * (that exhaustiveness is what certifies banded recall 1.0), which
-    * is quadratic in corpus size by construction — the cap keeps the
-    * recall-1.0 certificate answer-checked at every decade at fixed
-    * join density instead of skipping the fourth decade entirely (the
-    * by-design-skip policy this replaces, round 14).
+    * Graded slice capped at doc_id < 2000 (the q_embed_neardup cap
+    * size; a no-op at the sf0.01 driver gate): the oracle is
+    * DELIBERATELY an exhaustive all-pairs Jaccard self-join PLUS a
+    * recursive transitive closure — at the 5000-doc replica-0 slice
+    * its sibling rows use, the DuckDB replay measured >60 min at sf100
+    * (TIMEOUT, sweep100_r14g), so this row takes the smaller
+    * fixed-density slice to keep its from-first-principles closure
+    * answer-checked at every decade inside a sweep budget.
     */
   val qDedupClusters: Q = (s, dir) => {
     val pairs = Dedup.minHashLshPairs(
-      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000)), "doc_id", "text",
+      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 2000)), "doc_id", "text",
       shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.8)
     Dedup.nearDupClusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
   }
@@ -1005,7 +1005,7 @@ object QueryCatalog {
     raw"""WITH RECURSIVE t AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
-            FROM documents WHERE doc_id < 5000),
+            FROM documents WHERE doc_id < 2000),
           sh AS (
             SELECT doc_id,
                    list_distinct(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
