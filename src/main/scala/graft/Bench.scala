@@ -271,7 +271,18 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"telemetry":$telemetry,"sf":"$sfDir"}""")
+    // capped_queries: rows whose graded form slices to a fixed-density
+    // replica-0 cap — at the ScaleUp decades (sf1/sf10/sf100) these
+    // timings measure the capped slice, NOT the full corpus, so
+    // round-over-round comparisons and full-corpus perf claims must
+    // not read them as uncapped (ADVICE r14). At the driver sfs the
+    // caps are no-ops (QueryCatalogSpec pins that), so driver BENCH
+    // artifacts are unaffected. Full-corpus decade numbers for these
+    // operators live in SCALE.md's probe ladders.
+    val capped = results.keysIterator
+      .filter(graft.queries.QueryCatalog.cappedQueries)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"capped_queries":$capped,"telemetry":$telemetry,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,7 +36,12 @@ object Verify {
     // tools/check_oracles.py — globs <name>/*.parquet, so file count
     // is immaterial to them. The default stays 1 (the driver's
     // small-sf contract); tools/sweep_big.py sets 0.
-    val nparts = sys.env.getOrElse("GRAFT_VERIFY_NPARTS", "1").toInt
+    // validated explicitly (ADVICE r14): a malformed value must fail
+    // with a clear message BEFORE any query runs, and negative values
+    // must not silently alias nparts=0 (natural partitioning)
+    val npartsRaw = sys.env.getOrElse("GRAFT_VERIFY_NPARTS", "1")
+    val nparts = npartsRaw.trim.toIntOption.filter(_ >= 0).getOrElse(
+      sys.error(s"GRAFT_VERIFY_NPARTS must be an integer >= 0, got '$npartsRaw'"))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

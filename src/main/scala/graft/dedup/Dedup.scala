@@ -1234,10 +1234,19 @@ object Dedup {
     * count ([[graft.tune.AdaptiveKnobs]] discipline): on above
     * [[Dedup.ScrubPrefilterMinDocs]] documents, off below. Output is
     * bit-identical either way (spec-pinned).
+    *
+    * NOTE the default sizing runs `df.count()` EAGERLY at call time —
+    * one extra evaluation of the upstream lineage, expensive when `df`
+    * is a derived pipeline rather than a raw scan (ADVICE r14).
+    * Callers that already know the corpus size (a capped graded slice,
+    * a metadata count) should pass `docCountHint` to keep the call
+    * fully lazy; an explicit `hashPrefilter` skips the sizing
+    * entirely.
     */
   def scrubDuplicateSpans(
       df: DataFrame, idCol: String, textCol: String, n: Int = 8,
-      hashPrefilter: Option[Boolean] = None): DataFrame = {
+      hashPrefilter: Option[Boolean] = None,
+      docCountHint: Option[Long] = None): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     val arrs = df.select(
       col(idCol).as("doc_id"),
@@ -1249,7 +1258,7 @@ object Dedup {
           i => struct(i.as("start"), concat_ws(" ", slice(col("a"), i, lit(n))).as("g")))).as("sg"))
       .select(col("doc_id"), col("sg.start").as("start"), col("sg.g").as("g"))
     val usePrefilter =
-      hashPrefilter.getOrElse(df.count() > ScrubPrefilterMinDocs)
+      hashPrefilter.getOrElse(docCountHint.getOrElse(df.count()) > ScrubPrefilterMinDocs)
     val candidates =
       if (!usePrefilter) grams
       else {

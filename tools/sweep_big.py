@@ -36,12 +36,51 @@ def sh(cmd, env=None, timeout=None):
                           capture_output=True, text=True)
 
 
+# Pre-flight host guard (VERDICT r14 #5): two of the three r14
+# q_gopher_full sf100 attempts failed because OTHER processes starved
+# the single-process oracle phase — concurrent sbt test JVMs squeezed
+# DuckDB's once-at-start memory cap to 22 GB; a 48 GB Spark probe got
+# the worker OOM-killed outright. The no-heavy-neighbors rule was
+# procedural; this makes it mechanical: refuse to start a batch when
+# 1-minute load or memory pressure says something heavy shares the
+# box (CPU-only contention is tolerable for the single-threaded
+# oracle, memory contention is fatal — hence the generous load bound
+# and the tight memory one). GRAFT_SWEEP_FORCE=1 overrides, loudly.
+LOAD_MAX = float(os.environ.get("GRAFT_SWEEP_LOAD_MAX", "8.0"))
+AVAIL_MIN_GB = float(os.environ.get("GRAFT_SWEEP_AVAIL_MIN_GB", "64"))
+
+
+def host_pressure():
+    load1 = float(open("/proc/loadavg").read().split()[0])
+    kv = {}
+    for line in open("/proc/meminfo"):
+        k, v = line.split(":")
+        kv[k] = int(v.split()[0])
+    avail_gb = kv["MemAvailable"] / 2**20
+    return load1, avail_gb
+
+
+def preflight(tag):
+    load1, avail_gb = host_pressure()
+    ok = load1 <= LOAD_MAX and avail_gb >= AVAIL_MIN_GB
+    print(f"[sweep] preflight {tag}: load_1m={load1:.1f} (max {LOAD_MAX}), "
+          f"mem_avail={avail_gb:.0f}GB (min {AVAIL_MIN_GB:.0f}) -> "
+          f"{'ok' if ok else 'CONTENDED'}", flush=True)
+    if not ok and os.environ.get("GRAFT_SWEEP_FORCE") != "1":
+        print("[sweep] refusing to start under contention — a starved "
+              "oracle records a false FAIL/TIMEOUT (r14 q_gopher_full, "
+              "twice). Idle the box or set GRAFT_SWEEP_FORCE=1.",
+              flush=True)
+        sys.exit(3)
+
+
 def main():
     sf_dir = sys.argv[1]
     work = sys.argv[2]
     batch_n = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 900
     os.makedirs(work, exist_ok=True)
+    preflight("start")
     verify_env = {"SPARK_GRAFT_CPUS": "32",
                   "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "48g"),
                   # natural-partitioned dumps: the repartition(1) funnel
@@ -80,6 +119,10 @@ def main():
     results = {}
     for i in range(0, len(todo), batch_n):
         batch = todo[i:i + batch_n]
+        # one pre-flight reading logged per batch: the oracle phase is
+        # where memory contention kills, and a sweep runs for hours —
+        # the start-of-run check alone can't see a probe launched later
+        preflight(f"batch{i // batch_n + 1}")
         t0 = time.time()
         r = sh([f"{REPO}/tools/run_main.sh", "graft.Verify", sf_dir, work,
                 ",".join(batch)], env=verify_env, timeout=7200)
