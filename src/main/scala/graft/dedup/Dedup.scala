@@ -435,7 +435,21 @@ object Dedup {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIter: Int = 25
-  ): DataFrame = {
+  ): DataFrame =
+    nearDupClustersWithRounds(pairs, idACol, idBCol, maxIter)._1
+
+  /** [[nearDupClusters]] plus the number of contraction rounds it took
+    * to converge — the loop is eager (per-round localCheckpoint +
+    * count), so the round count is known by return time. Probes use it
+    * to verify the O(log n) claim at decade scale (SCALE.md); the
+    * DataFrame result is identical to [[nearDupClusters]]'s.
+    */
+  def nearDupClustersWithRounds(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 25
+  ): (DataFrame, Int) = {
     // closed-neighborhood minimum per node over the undirected edge set
     def withMins(e: DataFrame): DataFrame = {
       val nbrs = e
@@ -492,10 +506,11 @@ object Dedup {
           "O(log n) rounds, so this indicates a pathological input; raise maxIter")
     // fixpoint = per-component stars around the min id: every non-min
     // node carries exactly one (node → min) edge; centers label themselves
-    edges
+    val labeled = edges
       .select(col("a").as("id"), col("b").as("cluster_id"))
       .unionByName(edges.select(col("b").as("id"), col("b").as("cluster_id")))
       .distinct()
+    (labeled, iter)
   }
 
   /** Keep-one-per-cluster dedup: drop every row whose id belongs to a
@@ -1224,16 +1239,19 @@ object Dedup {
     * `hashPrefilter` — the EXACT 64-bit prefilter on the gram count:
     * collisions can only INFLATE a hash count, so hash-count == 1
     * PROVES a gram unique and hash-count > 1 is an exact superset of
-    * the duplicated grams; the full-stream exchange then carries
-    * 8-byte keys instead of ~n-token strings and the string-exact
-    * count (which eliminates collision survivors) runs only on the
-    * duplicated-ish slice. That trade WINS only when most grams are
-    * unique and the stream is big — on a small corpus the extra
-    * hash-count pass is pure overhead (it cost the graded row +65% at
-    * sf0.1 in round 13) — so the default sizes it from a document
-    * count ([[graft.tune.AdaptiveKnobs]] discipline): on above
+    * the duplicated grams. The dup-hash set then reaches the stream as
+    * a broadcast BLOOM filter (~1.2 B/key at 1% fpp) and prunes
+    * map-side, so the only string exchange left is the duplicated-ish
+    * slice feeding the string-exact count (which eliminates bloom fpp
+    * and hash collisions alike); past [[Dedup.ScrubBloomMaxKeys]] dup
+    * hashes — a mostly-duplicated corpus — it degrades to the r14
+    * semi-join. That trade WINS only when most grams are unique and
+    * the stream is big — on a small corpus the extra hash-count pass
+    * is pure overhead (it cost the graded row +65% at sf0.1 in round
+    * 13) — so the default sizes it from a document count
+    * ([[graft.tune.AdaptiveKnobs]] discipline): on above
     * [[Dedup.ScrubPrefilterMinDocs]] documents, off below. Output is
-    * bit-identical either way (spec-pinned).
+    * bit-identical on every route (spec-pinned).
     *
     * NOTE the default sizing runs `df.count()` EAGERLY at call time —
     * one extra evaluation of the upstream lineage, expensive when `df`
@@ -1246,7 +1264,8 @@ object Dedup {
   def scrubDuplicateSpans(
       df: DataFrame, idCol: String, textCol: String, n: Int = 8,
       hashPrefilter: Option[Boolean] = None,
-      docCountHint: Option[Long] = None): DataFrame = {
+      docCountHint: Option[Long] = None,
+      bloomMaxKeys: Long = ScrubBloomMaxKeys): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     val arrs = df.select(
       col(idCol).as("doc_id"),
@@ -1262,10 +1281,44 @@ object Dedup {
     val candidates =
       if (!usePrefilter) grams
       else {
+        // The r14 form semi-JOINED the duplicated-hash set back into the
+        // hashed gram stream — which re-EXCHANGES the full stream,
+        // strings included, whenever the dup set outgrows broadcast. The
+        // pinned sf100r A/B measured that route at +39% wall-clock,
+        // +19% shuffle and +32% spill over no-prefilter (records/
+        // probe_r15_scrub_volumes.log): the "8-byte keys" saving never
+        // existed because the strings rode the join anyway. The bloom
+        // form broadcasts the dup-hash set (~1.2 B/key at 1% fpp, the
+        // bloomContainmentPairs pattern) and filters the stream
+        // map-side, so the ONLY string exchange left is the duplicated-
+        // ish slice feeding the exact count. False positives (bloom fpp
+        // + xxhash64 collisions alike) are culled by that exact count —
+        // output is bit-identical on every route (spec-pinned).
+        // NOTE this route materializes the hash-count aggregate EAGERLY
+        // at call time (a count + a bloom-build job) — the bloom must
+        // exist before the plan can be constructed.
         val hashed = grams.withColumn("__h", xxhash64(col("g")))
         val dupHashes = hashed.groupBy("__h").agg(count(lit(1)).as("c"))
           .filter(col("c") > 1).select("__h")
-        hashed.join(dupHashes, Seq("__h"), "left_semi").drop("__h")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nDup = dupHashes.count()
+        if (nDup == 0) { // nothing duplicated anywhere: scrub is a no-op
+          dupHashes.unpersist(blocking = false)
+          grams.limit(0)
+        } else if (nDup <= bloomMaxKeys) {
+          val bloom = dupHashes.stat.bloomFilter("__h", nDup, 0.01)
+          dupHashes.unpersist(blocking = false)
+          val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
+          val mightBeDup = udf((h: Long) => bloomB.value.mightContainLong(h))
+          hashed.filter(mightBeDup.asNondeterministic()(col("__h"))).drop("__h")
+        } else {
+          // degenerate corpus (most grams duplicated): a bloom this
+          // size would strain broadcast, and pruning buys little when
+          // the "slice" is ~the stream — fall back to the semi-join.
+          // dupHashes stays persisted: the lazy downstream join reads
+          // it (dropped with the session, or by the caller's action GC).
+          hashed.join(dupHashes, Seq("__h"), "left_semi").drop("__h")
+        }
       }
     val dupGrams = candidates.groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")
     // per-doc sorted duplicated-gram starts; each covers [st, st+n-1]
@@ -1303,8 +1356,19 @@ object Dedup {
     * prefilter on by default: below it the gram exchange is small
     * enough that the extra hash-count pass costs more than the string
     * bytes it saves (measured +65% on the 5k-doc graded row, round
-    * 13); above it the 8-byte keys are what keep the full-stream
-    * exchange inside a disk budget at the 10^8-document decades.
+    * 13); above it the broadcast-bloom prune is what keeps the string
+    * exchange down to the duplicated slice at the 10^8-document
+    * decades (the r15 sf100r A/B — records/probe_r15_scrub_volumes
+    * .log — is the measured crossover evidence).
     */
   val ScrubPrefilterMinDocs: Long = 1L << 20
+
+  /** Duplicated-hash-set size above which [[scrubDuplicateSpans]]'s
+    * prefilter abandons the broadcast bloom for a semi-join: 2^26 keys
+    * ≈ 80 MB of bloom at 1% fpp, the upper edge of comfortable
+    * per-executor broadcast. A dup set that large means the corpus is
+    * mostly-duplicated (the maximal-density ScaleUp fixture, not a
+    * real crawl), where pruning cannot shrink the stream much anyway.
+    */
+  val ScrubBloomMaxKeys: Long = 1L << 26
 }

@@ -23,6 +23,25 @@ object ScrubSpansProbe {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Accumulates shuffle-write + spill bytes across tasks — on a real
+    * cluster the exchange VOLUME, not local wall-clock, is what the
+    * prefilter trades against (the r15 sf100r A/B tied on seconds while
+    * differing ~50 GB in spill; this listener makes that visible in the
+    * probe line instead of `df -h` archaeology).
+    */
+  private final class VolumeListener extends org.apache.spark.scheduler.SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = { shuffleWrite.set(0); diskSpill.set(0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/root/repo/scaledata/sf1")
@@ -30,23 +49,32 @@ object ScrubSpansProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val vol = new VolumeListener
+    spark.sparkContext.addSparkListener(vol)
     // GRAFT_SCRUB_PF=true|false pins one route (the sf100 attempt must
     // not die in the known-infeasible route before measuring the other)
     val routes = sys.env.get("GRAFT_SCRUB_PF") match {
       case Some(v) => Seq(v.toBoolean)
       case None    => Seq(false, true)
     }
-    println(f"[scrubprobe] ${"dir"}%-28s ${"docs"}%8s ${"prefilter"}%9s ${"sec"}%8s ${"n_removed_sum"}%14s")
+    println(f"[scrubprobe] ${"dir"}%-28s ${"docs"}%8s ${"prefilter"}%9s ${"sec"}%8s ${"n_removed_sum"}%14s ${"shuffle_gb"}%10s ${"spill_gb"}%9s")
     for (dir <- dirs; pf <- routes) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val n = docs.count()
+      vol.reset()
       val (sum, sec) = time {
         graft.dedup.Dedup
           .scrubDuplicateSpans(docs, "doc_id", "text", n = 8, hashPrefilter = Some(pf))
           .agg(org.apache.spark.sql.functions.sum(col("n_removed")))
           .head().getLong(0)
       }
-      println(f"[scrubprobe] $dir%-28s $n%8d $pf%9s $sec%8.2f $sum%14d")
+      // listener events drain asynchronously; settle before reading
+      // (listenerBus.waitUntilEmpty is private[spark] — a short sleep
+      // after the blocking head() is enough for a coarse GB readout)
+      Thread.sleep(2000)
+      val shufGb = vol.shuffleWrite.get() / 1e9
+      val spillGb = vol.diskSpill.get() / 1e9
+      println(f"[scrubprobe] $dir%-28s $n%8d $pf%9s $sec%8.2f $sum%14d $shufGb%10.2f $spillGb%9.2f")
     }
     spark.stop()
   }

@@ -636,9 +636,30 @@ class DedupSpec extends SparkTestBase {
       (6L, "short doc"),
       (7L, "")
     ).toDF("doc_id", "text")
-    def run(pf: Boolean) =
-      Dedup.scrubDuplicateSpans(df, "doc_id", "text", n = 8, hashPrefilter = Some(pf))
+    def run(pf: Boolean, bloomMaxKeys: Long = Dedup.ScrubBloomMaxKeys) =
+      Dedup.scrubDuplicateSpans(df, "doc_id", "text", n = 8, hashPrefilter = Some(pf),
+          bloomMaxKeys = bloomMaxKeys)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(run(true) == run(false))
+    // bloomMaxKeys = 0 forces the dup-hash set "too big to broadcast"
+    // degenerate branch — the r14 semi-join — which must stay
+    // bit-identical too (it is the fallback on mostly-duplicated input)
+    assert(run(true, bloomMaxKeys = 0L) == run(false))
+  }
+
+  test("scrubDuplicateSpans: prefilter on a corpus with zero duplicated grams is a no-op") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "every token in this document happens exactly once overall today"),
+      (2L, "and these other words likewise never recur across any documents"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateSpans(df, "doc_id", "text", n = 8, hashPrefilter = Some(true))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(out.forall(_._3 == 0L), s"nothing should be removed: $out")
+    assert(out.map(_._2) == Seq(
+      "every token in this document happens exactly once overall today",
+      "and these other words likewise never recur across any documents",
+      ""))
   }
 }
