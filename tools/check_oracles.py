@@ -115,6 +115,17 @@ def connect(sf_dir: str):
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        # partial fixtures are legitimate (ScaleUp tablesCsv builds only
+        # the tables a targeted sweep needs — disk is the sweep host's
+        # binding constraint); DuckDB binds views eagerly, so register
+        # what exists and warn loudly. An oracle that references an
+        # unregistered table fails its own row with a missing-relation
+        # error, not a silent pass.
+        if not (os.path.exists(f"{sf_dir}/{t}.parquet")):
+            print(f"WARN: {t}.parquet absent from {sf_dir} — not "
+                  "registered; oracles referencing it will fail",
+                  file=sys.stderr)
+            continue
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
