@@ -17,6 +17,20 @@ final case class BandObs(band: Int, bucket: Long, id: Long, sig: Seq[Long])
   */
 final case class NearDupHit(id: Long, dup_of: Long, est_jaccard: Double)
 
+/** One bucket resident in [[StreamingNearDup]] state. A product type,
+  * NOT a tuple-in-List under `Encoders.kryo`: the state store
+  * serializes every bucket's state once per micro-batch (and RocksDB
+  * stores round-trip it), so the state encoder is a per-batch hot
+  * path — the codegen'd product serializer Spark derives for nested
+  * case classes beats Kryo's reflective walk and keeps the state row
+  * format stable across Spark upgrades (Kryo blobs are
+  * version-fragile in checkpoints).
+  */
+final case class BucketResident(id: Long, sig: Seq[Long])
+
+/** FIFO bucket state: residents oldest-first, at most `maxPerBucket`. */
+final case class BucketState(residents: Seq[BucketResident])
+
 /** Streaming (cross-micro-batch) NEAR-duplicate detection — the fuzzy
   * counterpart of [[StreamingDedup]]: a paraphrased or lightly-edited
   * copy arriving three micro-batches after the original must still be
@@ -123,28 +137,28 @@ object StreamingNearDup {
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     implicit val hitEnc = Encoders.product[NearDupHit]
-    implicit val stateEnc = Encoders.kryo[List[(Long, Seq[Long])]]
+    implicit val stateEnc = Encoders.product[BucketState]
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
     obs
       .groupByKey(o => (o.band, o.bucket))
-      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupHit](OutputMode.Append(), timeout) {
-        (_: (Int, Long), rows: Iterator[BandObs], state: GroupState[List[(Long, Seq[Long])]]) =>
+      .flatMapGroupsWithState[BucketState, NearDupHit](OutputMode.Append(), timeout) {
+        (_: (Int, Long), rows: Iterator[BandObs], state: GroupState[BucketState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var residents = state.getOption.getOrElse(Nil)
+            var residents = state.getOption.fold(Vector.empty[BucketResident])(_.residents.toVector)
             val hits = List.newBuilder[NearDupHit]
             rows.toSeq.sortBy(_.id).foreach { o =>
-              if (!residents.exists(_._1 == o.id)) {
-                residents.foreach { case (rid, rsig) =>
-                  val est = estJaccard(o.sig, rsig)
-                  if (est >= jaccardThreshold) hits += NearDupHit(o.id, rid, est)
+              if (!residents.exists(_.id == o.id)) {
+                residents.foreach { r =>
+                  val est = estJaccard(o.sig, r.sig)
+                  if (est >= jaccardThreshold) hits += NearDupHit(o.id, r.id, est)
                 }
-                residents = (residents :+ (o.id -> o.sig)).takeRight(maxPerBucket)
+                residents = (residents :+ BucketResident(o.id, o.sig)).takeRight(maxPerBucket)
               }
             }
-            state.update(residents)
+            state.update(BucketState(residents))
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             hits.result().iterator
           }
