@@ -647,6 +647,29 @@ class DedupSpec extends SparkTestBase {
     assert(run(true, bloomMaxKeys = 0L) == run(false))
   }
 
+  test("scrubDuplicateSpans: bloom route plans no join on the gram hash; fallback route does") {
+    import spark.implicits._
+    val boiler = "common boilerplate sentence appearing in many documents here now"
+    val df = (1 to 40).map(i => (i.toLong, s"doc $i unique${i}a unique${i}b $boiler"))
+      .toDF("doc_id", "text")
+    // bloom route: the dup-hash set reaches the stream as a broadcast
+    // bloom + filter — the full gram stream must NOT be re-exchanged
+    // through a join keyed on __h (the r14 anti-pattern the pinned
+    // sf100r A/B measured at +19% shuffle / +32% spill)
+    val bloomPlan = Dedup.scrubDuplicateSpans(df, "doc_id", "text", n = 8,
+        hashPrefilter = Some(true))
+      .queryExecution.executedPlan.toString
+    assert(!bloomPlan.contains("__h"),
+      s"bloom route must not join/exchange on the gram hash:\n$bloomPlan")
+    // forced fallback (bloomMaxKeys = 0): the semi-join on __h IS the
+    // degenerate-corpus route and must still be planned
+    val fallbackPlan = Dedup.scrubDuplicateSpans(df, "doc_id", "text", n = 8,
+        hashPrefilter = Some(true), bloomMaxKeys = 0L)
+      .queryExecution.executedPlan.toString
+    assert(fallbackPlan.contains("__h"),
+      s"fallback route should semi-join on the gram hash:\n$fallbackPlan")
+  }
+
   test("scrubDuplicateSpans: prefilter on a corpus with zero duplicated grams is a no-op") {
     import spark.implicits._
     val df = Seq(
