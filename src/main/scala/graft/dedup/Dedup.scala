@@ -1164,8 +1164,19 @@ object Dedup {
     * recall construction as MinHash LSH banding: a single w-bit band
     * has recall p^w (p = per-bit sign-agreement probability of a true
     * pair), which decays quietly as the adaptive width grows — b bands
-    * recover 1 − (1 − p^r)^b while each band's bucket count (2^r per
-    * band) keeps candidate formation linear.
+    * recover 1 − (1 − p^r)^b.
+    *
+    * SCALE BOUNDARY (measured, r15): unlike the adaptive route, band
+    * width here CANNOT grow with the corpus — bands × bitsPerBand ≤
+    * dim, so each band's bucket count is a constant 2^r and expected
+    * candidates grow as b·n²/2^r. Linear-ish only while n ≲ 2^r; at
+    * the defaults (8×8 over dim 64) a 200k-vector corpus already
+    * ENOSPC'd the candidate dedup on a 70 GB-free host
+    * (records/probe_r15_embedneardup.log). This operator is the
+    * RECALL tool for bounded/shortlisted corpora (its graded row
+    * plants a few-thousand-vector slice); at corpus scale use
+    * [[embeddingNearDupPairs]], whose adaptive width keeps buckets
+    * ∝ n.
     *
     * Scale shape: the band exchange carries ONLY (band, bucket, id) —
     * vectors never ride the candidate join (DedupSpec asserts the

@@ -33,12 +33,18 @@ object EmbedNearDupProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(f"[embprobe] ${"dir"}%-30s ${"vecs"}%9s ${"sec"}%8s ${"n_pairs"}%12s ${"sum_cos4"}%14s")
+    // GRAFT_EMB_BANDED=1 probes the banded (multi-probe) variant with
+    // its defaults instead of the adaptive single-band path
+    val banded = sys.env.get("GRAFT_EMB_BANDED").contains("1")
+    println(f"[embprobe] ${"dir"}%-30s ${"route"}%8s ${"vecs"}%9s ${"sec"}%8s ${"n_pairs"}%12s ${"sum_cos4"}%14s")
     dirs.foreach { dir =>
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = emb.count()
       val (row, sec) = time {
-        Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3)
+        val pairs =
+          if (banded) Dedup.embeddingNearDupPairsBanded(emb, "vec_id", "embedding", 0.3)
+          else Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3)
+        pairs
           .agg(
             count(lit(1)).as("n_pairs"),
             sum(round(col("cosine") * 10000, 0).cast("long")).as("sum_cos4"))
@@ -46,7 +52,8 @@ object EmbedNearDupProbe {
       }
       val nPairs = row.getLong(0)
       val sumCos = if (row.isNullAt(1)) 0L else row.getLong(1)
-      println(f"[embprobe] $dir%-30s $n%9d $sec%8.2f $nPairs%12d $sumCos%14d")
+      val route = if (banded) "banded" else "adaptive"
+      println(f"[embprobe] $dir%-30s $route%8s $n%9d $sec%8.2f $nPairs%12d $sumCos%14d")
     }
     spark.stop()
   }
