@@ -438,11 +438,15 @@ object Dedup {
   ): DataFrame =
     nearDupClustersWithRounds(pairs, idACol, idBCol, maxIter)._1
 
-  /** [[nearDupClusters]] plus the number of contraction rounds it took
-    * to converge — the loop is eager (per-round localCheckpoint +
-    * count), so the round count is known by return time. Probes use it
-    * to verify the O(log n) claim at decade scale (SCALE.md); the
-    * DataFrame result is identical to [[nearDupClusters]]'s.
+  /** [[nearDupClusters]] plus the number of contraction rounds
+    * EXECUTED — the loop is eager (per-round localCheckpoint + count),
+    * so the count is known by return time. Convergence is detected by
+    * a round producing no change, so the returned count always
+    * includes that final fixpoint-confirming identity round (≥ 1 even
+    * for an input already at the fixpoint); productive contractions =
+    * rounds − 1. Probes use it to verify the O(log n) claim at decade
+    * scale (SCALE.md); the DataFrame result is identical to
+    * [[nearDupClusters]]'s.
     */
   def nearDupClustersWithRounds(
       pairs: DataFrame,
@@ -1326,9 +1330,18 @@ object Dedup {
           // degenerate corpus (most grams duplicated): a bloom this
           // size would strain broadcast, and pruning buys little when
           // the "slice" is ~the stream — fall back to the semi-join.
-          // dupHashes stays persisted: the lazy downstream join reads
-          // it (dropped with the session, or by the caller's action GC).
-          hashed.join(dupHashes, Seq("__h"), "left_semi").drop("__h")
+          // The cached dupHashes is NOT handed to the lazy plan:
+          // CacheManager pins persisted frames for the session
+          // lifetime (ContextCleaner never reclaims reachable cache
+          // entries), so repeated degenerate calls would accumulate
+          // multi-GB pins. Unpersist the sizing cache and let the
+          // join recompute the hash aggregate at execution — one
+          // extra pass, paid only on the route whose corpus is
+          // pathological anyway.
+          dupHashes.unpersist(blocking = false)
+          val dupHashesLazy = hashed.groupBy("__h").agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1).select("__h")
+          hashed.join(dupHashesLazy, Seq("__h"), "left_semi").drop("__h")
         }
       }
     val dupGrams = candidates.groupBy("g").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("g")

@@ -25,6 +25,13 @@ final case class NearDupHit(id: Long, dup_of: Long, est_jaccard: Double)
   * case classes beats Kryo's reflective walk and keeps the state row
   * format stable across Spark upgrades (Kryo blobs are
   * version-fragile in checkpoints).
+  *
+  * COMPAT: this encoder change (r15) is itself a state-format break —
+  * a streaming query restarted from a checkpoint written by the
+  * pre-r15 Kryo build cannot decode its state rows and must start
+  * from a fresh checkpoint (losing accumulated bucket residents, the
+  * same recall trade as a TTL expiry). One-time cost for a
+  * version-stable format going forward.
   */
 final case class BucketResident(id: Long, sig: Array[Long])
 

@@ -20,11 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object EmbedNearDupProbe {
 
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  import ProbeTiming.time
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq

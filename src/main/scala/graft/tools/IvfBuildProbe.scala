@@ -18,11 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object IvfBuildProbe {
 
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  import ProbeTiming.time
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/repo/scaledata/sf1"

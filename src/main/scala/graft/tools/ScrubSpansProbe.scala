@@ -17,11 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object ScrubSpansProbe {
 
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  import ProbeTiming.time
 
   /** Accumulates shuffle-write + spill bytes across tasks — on a real
     * cluster the exchange VOLUME, not local wall-clock, is what the

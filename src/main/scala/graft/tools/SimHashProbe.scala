@@ -23,11 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object SimHashProbe {
 
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
+  import ProbeTiming.time
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
@@ -42,7 +38,10 @@ object SimHashProbe {
       val n = docs.count()
       val blocks = Dedup.adaptiveSimHashBlocks(n, maxHamming = 6)
       val (row, sec) = time {
-        Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
+        // blocks passed explicitly: the adaptive default would re-count
+        // the corpus inside the timed region (identical result — the
+        // knob is a pure function of n)
+        Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6, blocks = blocks)
           .agg(count(lit(1)).as("n_pairs"), sum(col("hamming")).as("sum_hamming"))
           .head()
       }
