@@ -47,6 +47,26 @@ class StreamingNearDupSpec extends SparkTestBase {
     assert(streamHits == batchPairs, s"stream=$streamHits batch=$batchPairs")
   }
 
+  test("ttlMs > 0 derives a consistent timeout mode (batch run neither throws nor changes hits)") {
+    import spark.implicits._
+    val df = Seq((1L, base), (7L, nearDup), (3L, other)).toDF("id", "text")
+    // the timeout MODE is derived from ttlMs inside nearDupHits so the
+    // pair can never disagree — a NoTimeout + setTimeoutDuration
+    // combination throws UnsupportedOperationException at runtime,
+    // which is exactly what this batch execution would surface. In
+    // batch, timeouts never FIRE, so the hit set must equal ttl=0's.
+    val withTtl = StreamingNearDup
+      .nearDupHits(StreamingNearDup.bandObservations(df, "id", "text"),
+        jaccardThreshold = 0.5, ttlMs = 60000L)
+      .collect().map(h => (h.id, h.dup_of)).toSet
+    val without = StreamingNearDup
+      .nearDupHits(StreamingNearDup.bandObservations(df, "id", "text"),
+        jaccardThreshold = 0.5)
+      .collect().map(h => (h.id, h.dup_of)).toSet
+    assert(withTtl == without, s"ttl=$withTtl nottl=$without")
+    assert(withTtl.nonEmpty)
+  }
+
   test("maxPerBucket bounds state with FIFO eviction (recall trade is explicit)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
