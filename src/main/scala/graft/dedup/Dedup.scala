@@ -366,8 +366,13 @@ object Dedup {
     * is small AQE picks a broadcast join on its own; past the threshold
     * it degrades to a shuffle join over the bloom-pruned (tiny)
     * survivor stream. Only bSizes (one row per benchmark item) keeps
-    * the hint. The bloom check itself runs INSIDE the shingle UDF,
-    * before the explode — pruned grams never become rows at all.
+    * the hint. The bloom probe itself is a codegen'd predicate
+    * ([[graft.functions.BloomMightContain]]) directly above the
+    * shingle explode, in the SAME whole-stage-codegen stage — pruned
+    * grams die before anything downstream sees them (the dedup'd gram
+    * array is built per doc either way, so probing the exploded values
+    * is equivalent to the old probe-inside-the-UDF form, minus the
+    * boxed per-gram lambda frame).
     */
   def bloomContainmentPairs(
       corpus: DataFrame,
@@ -385,17 +390,11 @@ object Dedup {
     val nGrams = math.max(1L, bGrams.count())
     val bloom = bGrams.stat.bloomFilter("g", nGrams, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
-    val prunedShingles = udf { (text: String) =>
-      val seen = new java.util.LinkedHashSet[String]
-      val bf = bloomB.value
-      shingleArray(text, n).foreach(g => if (bf.mightContainString(g)) seen.add(g))
-      import scala.jdk.CollectionConverters._
-      seen.asScala.toSeq
-    }
     val bSizes = b.select(col("bench_id"), size(col("gs")).as("bench_sz"))
     val cEx = corpus
       .select(col(idCol).as("doc_id"),
-        explode(prunedShingles.asNondeterministic()(col(textCol))).as("g"))
+        explode(distinctShingles(col(textCol), n)).as("g"))
+      .filter(graft.functions.BloomExpressions.mightContain(col("g"), bloomB))
     cEx
       .join(bEx, Seq("g"))
       .filter(col("doc_id") =!= col("bench_id"))
@@ -1274,7 +1273,15 @@ object Dedup {
     * Callers that already know the corpus size (a capped graded slice,
     * a metadata count) should pass `docCountHint` to keep the call
     * fully lazy; an explicit `hashPrefilter` skips the sizing
-    * entirely.
+    * entirely. When the prefilter IS on, this method is eager twice
+    * more (ADVICE r15): the hash-count aggregate and the bloom build
+    * run as Spark jobs AT CALL TIME (the filter must exist before the
+    * returned plan can embed it), so composing a lazy pipeline around
+    * this call still pays one tokenize+explode+hash pass up front even
+    * if the result is never executed — and the ~1.2 B/key broadcast
+    * bloom stays alive for the lifetime of the returned plan (it is
+    * referenced from the plan's filter; `spark.cleaner` reclaims it
+    * with the plan, or callers can drop the DataFrame early).
     */
   def scrubDuplicateSpans(
       df: DataFrame, idCol: String, textCol: String, n: Int = 8,
@@ -1324,8 +1331,15 @@ object Dedup {
           val bloom = dupHashes.stat.bloomFilter("__h", nDup, 0.01)
           dupHashes.unpersist(blocking = false)
           val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
-          val mightBeDup = udf((h: Long) => bloomB.value.mightContainLong(h))
-          hashed.filter(mightBeDup.asNondeterministic()(col("__h"))).drop("__h")
+          // codegen'd probe (graft.functions.BloomMightContain): the
+          // filter stays inside the gram stream's whole-stage-codegen
+          // span and probes the primitive hash — the r15 boxed-UDF
+          // form paid a java.lang.Long allocation + lambda frame per
+          // gram (~10^10 at the fourth decade). Deterministic, so the
+          // optimizer inlines xxhash64(g) straight into the filter
+          // and __h never materializes as a column.
+          hashed.filter(
+            graft.functions.BloomExpressions.mightContain(col("__h"), bloomB)).drop("__h")
         } else {
           // degenerate corpus (most grams duplicated): a bloom this
           // size would strain broadcast, and pruning buys little when
