@@ -621,6 +621,73 @@ class DedupSpec extends SparkTestBase {
     assert(want.exists(w => w._3 > 0 && w._2.nonEmpty), "fixture should partially scrub some doc")
   }
 
+  test("scrubDuplicateSpans: property differential — all three routes equal brute force on 124 generated corpora") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // ScalaCheck-generated corpora (VERDICT r15 #5): tiny vocab + short
+    // docs force heavy gram collisions, so the generated set covers
+    // adjacent/overlapping/doc-start/doc-end/whole-doc covers, docs
+    // shorter than n, empty docs, and zero-dup corpora. A classic
+    // forAll would pay ~3 Spark actions per case (the bloom route is
+    // eager); instead every corpus gets a disjoint token namespace
+    // ("c{k}x" prefix), so the union scrubs EXACTLY like 124
+    // independent runs (grams cannot collide across corpora — equal
+    // grams require equal prefixes) and all cases ride 3 engine runs.
+    val n = 3
+    val tokenGen = Gen.chooseNum(0, 4).map(i => s"t$i")
+    val docGen = for {
+      len <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(len, tokenGen)
+    } yield toks.mkString(" ")
+    val corpusGen = for {
+      nDocs <- Gen.chooseNum(0, 18)
+      docs <- Gen.listOfN(nDocs, docGen)
+    } yield docs
+    val generated = Gen.listOfN(120, corpusGen)
+      .pureApply(Gen.Parameters.default, Seed(20260816L))
+    // engineered edges the generator might miss: single doc (nothing
+    // cross-doc), all-dup corpus (every gram duplicated — the
+    // degenerate-route shape), empty-text docs, empty corpus
+    val edges = Seq(
+      Seq("p q r s p q r s"),
+      Seq.fill(5)("p q r s t"),
+      Seq("", "", ""),
+      Seq.empty[String])
+    val corpora = (generated ++ edges).zipWithIndex
+    val rows = corpora.flatMap { case (docs, k) =>
+      docs.zipWithIndex.map { case (text, i) =>
+        val prefixed = text.split("\\s+").filter(_.nonEmpty).map(t => s"c${k}x$t").mkString(" ")
+        (k * 1000L + i, prefixed)
+      }
+    }
+    // brute-force reference over the union (namespaces make it equal
+    // to per-corpus brute force)
+    val toks = rows.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    for ((_, a) <- toks; i <- 0 to a.length - n)
+      counts.updateWith(a.slice(i, i + n).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val want = toks.map { case (id, a) =>
+      val covered = (for {
+        i <- 0 to a.length - n
+        if counts(a.slice(i, i + n).mkString(" ")) > 1
+        p <- i until i + n
+      } yield p).toSet
+      val kept = a.indices.filterNot(covered).map(a)
+      (id, kept.mkString(" "), (a.length - kept.size).toLong)
+    }.sortBy(_._1)
+    assert(want.exists(_._3 > 0), "generator should plant duplicates")
+    assert(want.exists(w => w._3 == 0 && w._2.nonEmpty), "generator should leave unique docs")
+    val df = rows.toDF("doc_id", "text")
+    def run(pf: Boolean, bloomMaxKeys: Long = Dedup.ScrubBloomMaxKeys) =
+      Dedup.scrubDuplicateSpans(df, "doc_id", "text", n = n, hashPrefilter = Some(pf),
+          bloomMaxKeys = bloomMaxKeys)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run(false) == want, "no-prefilter route diverges from brute force")
+    assert(run(true) == want, "bloom route diverges from brute force")
+    assert(run(true, bloomMaxKeys = 0L) == want, "semi-join fallback route diverges from brute force")
+  }
+
   test("scrubDuplicateSpans: hash-prefilter route is bit-identical to the direct count") {
     import spark.implicits._
     val boiler = "all rights reserved contact us terms of service"

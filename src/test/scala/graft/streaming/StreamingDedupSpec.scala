@@ -51,6 +51,49 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("RocksDB state store + checkpoint restart: keys seen before the restart stay suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // keepFirstAcrossBatches' Long state through a real on-disk store
+    // and a stop/restart: a duplicate of a PRE-restart key must still
+    // be swallowed by the restarted query (state recovered), and a
+    // fresh key must still emit (the store stays writable).
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdd-ckpt").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val kept = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    try {
+      val input = MemoryStream[DedupEvent]
+      def start() = StreamingDedup.keepFirstAcrossBatches(input.toDS())
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[DedupEvent], _: Long) =>
+          batch.collect().foreach(e => kept.add(e.chunk_id))
+        }
+        .outputMode("append").start()
+      val q1 = start()
+      try {
+        input.addData(ev("c1", "hello world"), ev("c2", "other text"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      import scala.jdk.CollectionConverters._
+      assert(kept.asScala.toSet == Set("c1", "c2"))
+      val q2 = start()
+      try {
+        input.addData(ev("c3", "HELLO   world"), ev("c4", "brand new content"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      // c3 duplicates the pre-restart c1 -> suppressed; c4 is fresh
+      assert(kept.asScala.toSet == Set("c1", "c2", "c4"), s"kept=$kept")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("keepFirstAcrossBatches shares semantics with batch execution (backfill path)") {
     import spark.implicits._
     val batch = Seq(

@@ -67,6 +67,127 @@ class StreamingNearDupSpec extends SparkTestBase {
     assert(withTtl.nonEmpty)
   }
 
+  test("RocksDB state store + checkpoint restart: pre-restart residents still match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The r15 encoder rewrite's stated win is the on-disk state-store
+    // round-trip (RocksDB serializes every bucket's BucketState per
+    // micro-batch); until this test the product-encoded state had only
+    // ever lived in the default in-memory HDFS-backed store within one
+    // query lifetime. This drives the full claim: RocksDB provider, a
+    // real checkpoint, a query STOP, and a restarted query whose new
+    // arrival must match a resident written before the restart —
+    // proving BucketState round-trips through RocksDB's disk format
+    // and the checkpoint schema file accepts the product encoding.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ndr-ckpt").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    try {
+      val input = MemoryStream[(Long, String)]
+      val docs = input.toDS().toDF("id", "text")
+      // memory sink refuses checkpoint recovery; foreachBatch supports it
+      def start() = StreamingNearDup.detect(docs, "id", "text", jaccardThreshold = 0.5)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[NearDupHit], _: Long) =>
+          batch.collect().foreach(h => hits.add((h.id, h.dup_of)))
+        }
+        .outputMode("append").start()
+      val q1 = start()
+      try {
+        input.addData((1L, base), (3L, other))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(hits.isEmpty, s"no dups before restart: $hits")
+      val q2 = start()
+      try {
+        input.addData((7L, nearDup)) // near-dup of a PRE-restart resident
+        q2.processAllAvailable()
+      } finally q2.stop()
+      import scala.jdk.CollectionConverters._
+      assert(hits.asScala.toSet == Set((7L, 1L)),
+        s"restarted query must match the pre-restart resident: $hits")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("processing-time TTL: a resident ages out and a later near-dup is NOT flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Exercises ACTUAL bucket expiry (VERDICT r15 #7): the earlier TTL
+    // spec pinned only the timeout-mode derivation (batch execution
+    // never fires timeouts). Wall-clock based — the sleep only needs
+    // to EXCEED the TTL, and extra delay just expires the state
+    // harder, so the test cannot flake toward a false pass of the
+    // "resident survived" branch.
+    //
+    // processAllAvailable() CANNOT be the barrier here: with
+    // ProcessingTimeTimeout the engine re-triggers batches
+    // continuously (shouldRunAnotherBatch stays true so timed-out
+    // groups get swept), `noNewData` is therefore never set, and
+    // processAllAvailable blocks forever. Input progress is instead
+    // tracked through a StreamingQueryListener and each phase waits
+    // until its docs were consumed. Those continuous empty batches are
+    // also what GUARANTEES the sweep: during the sleep the engine
+    // keeps running (empty) batches, and the first one past the
+    // expiry fires hasTimedOut -> state.remove() — long before the
+    // next doc arrives with data for that bucket.
+    val ttlMs = 1000L
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDS().toDF("id", "text")
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingNearDup
+      .nearDupHits(
+        StreamingNearDup.bandObservations(docs, "id", "text"),
+        jaccardThreshold = 0.5, ttlMs = ttlMs)
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .outputMode("append").start()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == q.id) inputRows.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    def waitConsumed(target: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (inputRows.get() < target && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(inputRows.get() >= target, s"stream did not consume $target docs in 60s")
+    }
+    try {
+      input.addData((1L, base))
+      waitConsumed(1)
+      Thread.sleep(ttlMs * 4) // sweep batches run throughout; 1 ages out
+      input.addData((9L, base)) // same text as 1 — but 1 has aged out
+      waitConsumed(2)
+      // state must still WORK after an expiry: 10 matches the fresh 9
+      input.addData((10L, base))
+      waitConsumed(3)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def hitSet() = spark.table("neardup_ttl").as[NearDupHit].collect()
+        .map(h => (h.id, h.dup_of)).distinct.toSet
+      while (!hitSet().contains((10L, 9L)) && System.nanoTime() < deadline) Thread.sleep(100)
+      val hits = hitSet()
+      assert(hits.contains((10L, 9L)), s"fresh resident 9 must still match 10: $hits")
+      assert(!hits.contains((9L, 1L)),
+        s"resident 1 should have aged out before 9 arrived: $hits")
+      assert(!hits.exists(_._1 == 9L), s"9 must match nothing after the expiry: $hits")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("maxPerBucket bounds state with FIFO eviction (recall trade is explicit)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
