@@ -36,6 +36,27 @@ object ScrubSpansProbe {
       }
     }
     def reset(): Unit = { shuffleWrite.set(0); diskSpill.set(0) }
+
+    /** Listener-bus events drain asynchronously after the blocking
+      * action returns; a fixed sleep under-counts on a loaded host
+      * (ADVICE r15 #4). Poll the totals until they hold still for a
+      * full second (bounded at 15 s so a wedged bus can't hang the
+      * probe — if the bound trips, the figures are drain-window-coarse
+      * and the probe says so).
+      */
+    def settle(): Unit = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last = (shuffleWrite.get(), diskSpill.get())
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+          (System.nanoTime() - stableSince) < 1000L * 1000 * 1000) {
+        Thread.sleep(100)
+        val now = (shuffleWrite.get(), diskSpill.get())
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+      }
+      if (System.nanoTime() >= deadline)
+        println("[scrubprobe] WARN listener bus did not settle in 15s; GB figures may be low")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -64,10 +85,9 @@ object ScrubSpansProbe {
           .agg(org.apache.spark.sql.functions.sum(col("n_removed")))
           .head().getLong(0)
       }
-      // listener events drain asynchronously; settle before reading
-      // (listenerBus.waitUntilEmpty is private[spark] — a short sleep
-      // after the blocking head() is enough for a coarse GB readout)
-      Thread.sleep(2000)
+      // listener events drain asynchronously; poll until stable
+      // (listenerBus.waitUntilEmpty is private[spark])
+      vol.settle()
       val shufGb = vol.shuffleWrite.get() / 1e9
       val spillGb = vol.diskSpill.get() / 1e9
       println(f"[scrubprobe] $dir%-28s $n%8d $pf%9s $sec%8.2f $sum%14d $shufGb%10.2f $spillGb%9.2f")
