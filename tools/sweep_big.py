@@ -61,17 +61,31 @@ def host_pressure():
 
 
 def preflight(tag):
-    load1, avail_gb = host_pressure()
-    ok = load1 <= LOAD_MAX and avail_gb >= AVAIL_MIN_GB
-    print(f"[sweep] preflight {tag}: load_1m={load1:.1f} (max {LOAD_MAX}), "
-          f"mem_avail={avail_gb:.0f}GB (min {AVAIL_MIN_GB:.0f}) -> "
-          f"{'ok' if ok else 'CONTENDED'}", flush=True)
-    if not ok and os.environ.get("GRAFT_SWEEP_FORCE") != "1":
-        print("[sweep] refusing to start under contention — a starved "
-              "oracle records a false FAIL/TIMEOUT (r14 q_gopher_full, "
-              "twice). Idle the box or set GRAFT_SWEEP_FORCE=1.",
-              flush=True)
-        sys.exit(3)
+    # Load-only pressure is usually OUR OWN just-finished local[32]
+    # spark phase decaying out of load_1m (a 16-batch sf10 sweep killed
+    # itself twice on its own tail in r16) — wait for the decay before
+    # concluding a neighbor holds the box. Memory pressure never
+    # self-inflicts between batches (the JVM exited), so it aborts
+    # immediately as before.
+    deadline = time.time() + 300
+    while True:
+        load1, avail_gb = host_pressure()
+        ok = load1 <= LOAD_MAX and avail_gb >= AVAIL_MIN_GB
+        print(f"[sweep] preflight {tag}: load_1m={load1:.1f} (max {LOAD_MAX}), "
+              f"mem_avail={avail_gb:.0f}GB (min {AVAIL_MIN_GB:.0f}) -> "
+              f"{'ok' if ok else 'CONTENDED'}", flush=True)
+        if ok or os.environ.get("GRAFT_SWEEP_FORCE") == "1":
+            return
+        if avail_gb < AVAIL_MIN_GB or time.time() > deadline:
+            break
+        print("[sweep] load-only contention — waiting 30s for our own "
+              "spark phase to decay out of load_1m", flush=True)
+        time.sleep(30)
+    print("[sweep] refusing to start under contention — a starved "
+          "oracle records a false FAIL/TIMEOUT (r14 q_gopher_full, "
+          "twice). Idle the box or set GRAFT_SWEEP_FORCE=1.",
+          flush=True)
+    sys.exit(3)
 
 
 def main():
