@@ -1732,27 +1732,44 @@ object QueryCatalog {
             -- coalesce the LEFT-JOINed aggregates so the zero-guards
             -- fire for docs with no non-empty lines/tokens (NULL would
             -- otherwise fall through to NULL arithmetic where the Spark
-            -- side returns 0.0)
+            -- side returns 0.0). Carries exact INTEGER numer/denom
+            -- pairs — the 6-dp rounding below must happen in integer
+            -- arithmetic, mirroring RepetitionStats.ratio6: rounding a
+            -- double ratio (round(x, 6) here vs BigDecimal HALF_UP on
+            -- the Spark side) diverges when the true ratio sits exactly
+            -- on a .5e-6 midpoint, which the r16 sf10r sweep measured
+            -- on 16 salted docs at top3 = 0.0640625 exactly.
             SELECT d.doc_id,
-              CASE WHEN coalesce(l.n_lines, 0) = 0 THEN 0.0 ELSE (l.n_lines - l.n_distinct) * 1.0 / l.n_lines END AS dlf,
-              CASE WHEN coalesce(l.total_line_chars, 0) = 0 THEN 0.0 ELSE coalesce(l.dup_line_chars, 0) * 1.0 / l.total_line_chars END AS dlcf,
-              CASE WHEN coalesce(t.total_chars, 0) = 0 THEN 0.0 ELSE coalesce(t2.chars, 0) * 1.0 / t.total_chars END AS t2f,
-              CASE WHEN coalesce(t.total_chars, 0) = 0 THEN 0.0 ELSE coalesce(t3.chars, 0) * 1.0 / t.total_chars END AS t3f,
-              CASE WHEN coalesce(t.total_chars, 0) = 0 THEN 0.0 ELSE least(1.0, coalesce(d5.chars, 0) * 1.0 / t.total_chars) END AS d5f
+              CAST(coalesce(l.n_lines, 0) - coalesce(l.n_distinct, 0) AS BIGINT) AS dln,
+              CAST(coalesce(l.n_lines, 0) AS BIGINT) AS dld,
+              CAST(coalesce(l.dup_line_chars, 0) AS BIGINT) AS dlcn,
+              CAST(coalesce(l.total_line_chars, 0) AS BIGINT) AS dlcd,
+              CAST(coalesce(t2.chars, 0) AS BIGINT) AS t2n,
+              CAST(coalesce(t3.chars, 0) AS BIGINT) AS t3n,
+              CAST(least(coalesce(d5.chars, 0), coalesce(t.total_chars, 0)) AS BIGINT) AS d5n,
+              CAST(coalesce(t.total_chars, 0) AS BIGINT) AS td
             FROM documents d
             LEFT JOIN lstats l USING (doc_id)
             LEFT JOIN tstats t USING (doc_id)
             LEFT JOIN top2 t2 USING (doc_id)
             LEFT JOIN top3 t3 USING (doc_id)
-            LEFT JOIN dup5 d5 USING (doc_id))
+            LEFT JOIN dup5 d5 USING (doc_id)),
+          r6 AS (
+            -- floor((2·n·10^6 + d) / (2·d)) / 10^6 = HALF_UP at 6 dp,
+            -- all-bigint until one final int/int-literal division —
+            -- bit-identical to the Spark UDF by construction
+            SELECT doc_id,
+              CASE WHEN dld = 0 THEN 0.0 ELSE ((2*dln*1000000 + dld) // (2*dld)) / 1000000.0 END AS dup_line_frac,
+              CASE WHEN dlcd = 0 THEN 0.0 ELSE ((2*dlcn*1000000 + dlcd) // (2*dlcd)) / 1000000.0 END AS dup_line_char_frac,
+              CASE WHEN td = 0 THEN 0.0 ELSE ((2*t2n*1000000 + td) // (2*td)) / 1000000.0 END AS top2gram_char_frac,
+              CASE WHEN td = 0 THEN 0.0 ELSE ((2*t3n*1000000 + td) // (2*td)) / 1000000.0 END AS top3gram_char_frac,
+              CASE WHEN td = 0 THEN 0.0 ELSE ((2*d5n*1000000 + td) // (2*td)) / 1000000.0 END AS dup5gram_char_frac
+            FROM m)
           SELECT doc_id,
-                 round(dlf, 6) AS dup_line_frac,
-                 round(dlcf, 6) AS dup_line_char_frac,
-                 round(t2f, 6) AS top2gram_char_frac,
-                 round(t3f, 6) AS top3gram_char_frac,
-                 round(d5f, 6) AS dup5gram_char_frac,
-                 (round(dlf, 6) <= 0.3 AND round(t2f, 6) <= 0.2 AND round(d5f, 6) <= 0.15) AS keep
-          FROM m ORDER BY doc_id"""
+                 dup_line_frac, dup_line_char_frac,
+                 top2gram_char_frac, top3gram_char_frac, dup5gram_char_frac,
+                 (dup_line_frac <= 0.3 AND top2gram_char_frac <= 0.2 AND dup5gram_char_frac <= 0.15) AS keep
+          FROM r6 ORDER BY doc_id"""
 
   /** PII noise appended to every doc so the scrubber has real work in
     * both engines: email, international + domestic phone shapes, IPv4,

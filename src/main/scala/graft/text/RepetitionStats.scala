@@ -33,6 +33,26 @@ object RepetitionStats {
   private[text] def tokensOf(s: String): Array[String] =
     s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
+  /** Exact HALF_UP rounding at 6 dp of the non-negative integer ratio
+    * numer/denom, computed ENTIRELY in integer arithmetic:
+    * floor((2·numer·10⁶ + denom) / (2·denom)) / 10⁶. Every graded
+    * fraction here is an integer ratio, and both engines (this UDF and
+    * the DuckDB oracle's mirrored `//` expression) derive the
+    * micro-fraction from the same integers with exact bigint
+    * arithmetic, then perform the identical int→double division — so
+    * the graded double is equal by construction. Rounding the DOUBLE
+    * ratio instead (BigDecimal HALF_UP here, DuckDB round() there)
+    * diverges when the true ratio lands exactly on a .5·10⁻⁶ midpoint:
+    * the r16 sf10r sweep caught 16 salted-fixture docs whose
+    * top-3-gram ratio was exactly 0.0640625, which the two engines'
+    * double paths rounded to 0.064063 and 0.064062 respectively
+    * (records/sweep_sf10r_r16.log). Overflow-safe while
+    * numer ≤ ~4.6·10¹² — corpus documents are megabytes at most.
+    */
+  private[text] def ratio6(numer: Long, denom: Long): Double =
+    if (denom == 0L) 0.0
+    else ((2L * numer * 1000000L + denom) / (2L * denom)).toDouble / 1e6
+
   private[text] def ngramCounts(toks: Array[String], n: Int): scala.collection.mutable.Map[String, Int] = {
     val m = scala.collection.mutable.HashMap.empty[String, Int]
     var i = 0
@@ -44,17 +64,19 @@ object RepetitionStats {
     m
   }
 
-  /** (dupLineFrac, dupLineCharFrac, top2, top3, dup5) — see object doc. */
+  /** (dupLineFrac, dupLineCharFrac, top2, top3, dup5) — see object
+    * doc. Each measure is [[ratio6]] of its exact integer pair, so the
+    * returned doubles are ALREADY the graded 6-dp values.
+    */
   private[text] def compute(text: String): (Double, Double, Double, Double, Double) = {
     if (text == null) return (0.0, 0.0, 0.0, 0.0, 0.0)
     val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
     val lineCounts = lines.groupBy(identity).view.mapValues(_.length)
     val nLines = lines.length
-    val dupLineFrac =
-      if (nLines == 0) 0.0 else (nLines - lineCounts.size).toDouble / nLines
+    val dupLineFrac = ratio6(nLines.toLong - lineCounts.size, nLines.toLong)
     val totalLineChars = lineCounts.iterator.map { case (l, c) => l.length.toLong * c }.sum
     val dupLineChars = lineCounts.iterator.collect { case (l, c) if c > 1 => l.length.toLong * (c - 1) }.sum
-    val dupLineCharFrac = if (totalLineChars == 0) 0.0 else dupLineChars.toDouble / totalLineChars
+    val dupLineCharFrac = ratio6(dupLineChars, totalLineChars)
 
     val toks = tokensOf(text)
     val totalChars = if (toks.isEmpty) 0 else toks.map(_.length).sum + toks.length - 1
@@ -65,29 +87,28 @@ object RepetitionStats {
       if (m.isEmpty) return 0.0
       val maxC = m.valuesIterator.max
       val top = m.iterator.filter(_._2 == maxC).map(_._1).min
-      maxC.toLong * top.length / totalChars.toDouble
+      ratio6(maxC.toLong * top.length, totalChars.toLong)
     }
 
     def dupFrac(n: Int): Double = {
       if (totalChars == 0) return 0.0
       val m = ngramCounts(toks, n)
       val s = m.iterator.collect { case (g, c) if c > 1 => c.toLong * g.length }.sum
-      math.min(1.0, s.toDouble / totalChars)
+      // min(1, s/totalChars) commutes with the rounding: cap the
+      // numerator at the denominator before the exact 6-dp division
+      ratio6(math.min(s, totalChars.toLong), totalChars.toLong)
     }
 
     (dupLineFrac, dupLineCharFrac, topFrac(2), topFrac(3), dupFrac(5))
   }
 
-  /** Struct column of the five measures, each rounded to 6 dp. Marked
-    * non-deterministic (pure) to stop optimizer duplication — same
-    * rationale as Chunker.chunksArray.
+  /** Struct column of the five measures, each exact-integer-rounded to
+    * 6 dp inside [[compute]] (see [[ratio6]] for why the rounding must
+    * not go through a double). Marked non-deterministic (pure) to stop
+    * optimizer duplication — same rationale as Chunker.chunksArray.
     */
   def repetitionFeatures(text: Column): Column = {
-    val f = udf { (s: String) =>
-      val (a, b, c, d, e) = compute(s)
-      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (r6(a), r6(b), r6(c), r6(d), r6(e))
-    }.asNondeterministic()
+    val f = udf { (s: String) => compute(s) }.asNondeterministic()
     f(text).cast(
       "struct<dup_line_frac:double,dup_line_char_frac:double," +
         "top2gram_char_frac:double,top3gram_char_frac:double,dup5gram_char_frac:double>"

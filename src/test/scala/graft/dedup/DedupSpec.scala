@@ -132,6 +132,43 @@ class DedupSpec extends SparkTestBase {
     assert(viaJoin.size == 3, s"one winner per group incl. the null-key group: $viaJoin")
   }
 
+  test("exactDedup routes: property differential — window ≡ agg+semi-join ≡ reference on generated corpora") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // ScalaCheck-generated rows with null keys, null tiebreak heads,
+    // and heavy duplicate groups: the two routes must agree with each
+    // other AND with an in-memory nulls-first minimum — across the
+    // input space, not just the pinned fixtures above. idx is unique,
+    // so (ord, idx) always uniquely identifies a row within a group
+    // (the aggJoin contract).
+    val rowGen = for {
+      key <- Gen.frequency(
+        6 -> Gen.chooseNum(0, 5).map(i => Option(s"k$i")),
+        1 -> Gen.const(Option.empty[String]))
+      ord <- Gen.frequency(
+        5 -> Gen.chooseNum(0L, 3L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))
+    } yield (key, ord)
+    val rows = Gen.listOfN(400, rowGen).pureApply(Gen.Parameters.default, Seed(1604L))
+      .zipWithIndex.map { case ((k, o), i) => (k, o, i.toLong) }
+    val df = rows.toDF("key", "ord", "idx")
+    def sorted(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    val viaJoin = sorted(Dedup.exactDedupAggJoin(df, "key", Seq("ord", "idx")))
+    val viaWindow = sorted(Dedup.exactDedupByKey(df, "key", Seq("ord", "idx")))
+    // reference: one winner per key group (null key = its own group),
+    // minimum by (ord ASC NULLS FIRST, idx) — Spark's default asc order
+    val ref = rows.groupBy(_._1).values.map { g =>
+      g.minBy { case (_, o, i) => (o.isDefined, o.getOrElse(Long.MinValue), i) }
+    }.toSeq.sortBy(_._3)
+    assert(viaJoin == viaWindow, "agg+semi-join diverged from the window route")
+    assert(viaWindow == ref, "window route diverged from the in-memory nulls-first minimum")
+    assert(ref.exists(_._1.isEmpty), "generator should produce a null-key group")
+    assert(ref.exists(_._2.isEmpty), "some group should be won by a null tiebreak head")
+  }
+
   test("exactDedupByKey on a narrow frame keeps the payload out of every exchange") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, s"payload text $i ${i % 7}")).toDF("id", "text")
