@@ -29,6 +29,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    reference machine this is CALIBRATION_BASELINE_SEC; a contended
   *    or slower host scales every query by roughly the same factor, so
   *    totals should be read relative to calibration_sec/baseline.
+  *  - calibration_par_sec_start/end: the same loop on `parallelism`
+  *    threads at once (wall until all finish). A single busy core can
+  *    look idle while the MACHINE is not (frequency scaling under
+  *    all-core load, memory-bandwidth/page-cache pressure, sibling
+  *    hyperthreads) — the r14-r16 settled artifacts spread 35.9→42.5 s
+  *    with single-thread calibration pinned at 0.96-1.02, so the field
+  *    meant to explain totals could not. par/single >> 1 (beyond the
+  *    SMT-expected ~1.1-1.3 on this host class) marks a run whose
+  *    32-way phases did not get 32 cores' worth of machine.
   *  - load_1m_before/after: /proc/loadavg around the timed loop.
   *  - cpu_busy_frac: machine-wide non-idle share of /proc/stat ticks
   *    over the timed loop; cpu_other_frac subtracts this JVM's own CPU
@@ -68,6 +77,34 @@ object Bench {
       i += 1
     }
     ((System.nanoTime() - t0) / 1e9, acc)
+  }
+
+  /** The SAME fixed-work loop run concurrently on `threads` threads
+    * (each thread does the full CalibrationIters); returns the wall
+    * seconds until ALL finish. On an idle host with >= `threads` free
+    * cores this matches the single-thread number; it inflates when the
+    * cores are shared or the memory subsystem is saturated — exactly
+    * the host states the single-thread probe is blind to (VERDICT r16
+    * #1: three rounds of 35.9/41.2/42.5 s settled-artifact spread on
+    * near-identical trees with single-thread calibration pinned at
+    * 0.96-1.02 — the totals moved with machine-WIDE state that one
+    * busy core cannot see). Read par/single > ~1.2 as "the 32-way
+    * bench ran on a machine that could not actually give it 32 cores'
+    * worth of throughput" and compare totals accordingly.
+    */
+  def calibratePar(threads: Int): Double = {
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0)
+    val ts = (1 to threads).map { _ =>
+      new Thread(() => { sink.addAndGet(calibrate()._2); done.countDown() })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    done.await()
+    // fold the per-thread checksums into a field-free sink read so the
+    // JIT cannot dead-code the worker loops (same trick as `calibrate`)
+    if (sink.get() == 42L) System.err.println("[bench] calibration sink hit sentinel")
+    (System.nanoTime() - t0) / 1e9
   }
 
   private def loadAvg1m(): Double =
@@ -197,6 +234,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] prepare FAILED: $e") }
 
     val (calStart, calCheck) = calibrate()
+    val calParStart = calibratePar(cpus)
     val loadBefore = loadAvg1m()
     val (busy0, ticks0) = cpuTicks()
     val self0 = selfCpuSec()
@@ -248,6 +286,7 @@ object Bench {
     val selfSec = selfCpuSec() - self0
     val loadAfter = loadAvg1m()
     val (calEnd, _) = calibrate()
+    val calParEnd = calibratePar(cpus)
     val busyFrac =
       if (ticks1 > ticks0) (busy1 - busy0).toDouble / (ticks1 - ticks0) else -1.0
     // this JVM's share of the same tick window (USER_HZ = 100)
@@ -258,6 +297,8 @@ object Bench {
     def r4(d: Double) = math.rint(d * 10000) / 10000
     val telemetry =
       s"""{"calibration_sec_start":${r4(calStart)},"calibration_sec_end":${r4(calEnd)},""" +
+        s""""calibration_par_sec_start":${r4(calParStart)},"calibration_par_sec_end":${r4(calParEnd)},""" +
+        s""""calibration_par_threads":$cpus,""" +
         s""""calibration_iters":$CalibrationIters,"calibration_check":"${java.lang.Long.toHexString(calCheck)}",""" +
         s""""load_1m_before":$loadBefore,"load_1m_after":$loadAfter,""" +
         s""""wall_sec":${r4(wallSec)},"self_cpu_sec":${r4(selfSec)},""" +

@@ -53,12 +53,10 @@ private[dedup] trait JaccardJoinOps extends Serializable { this: TextNormalizati
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double")
-      )
+      .withColumn("union_", (col("sz_a") + col("sz_b")).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_").cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("block", "id_a", "id_b", "jaccard")
+      .select("block", "id_a", "id_b", "jaccard", "inter", "union_")
   }
 
   /** Prefix-filtered set-similarity join — the open-vocabulary scale
@@ -149,13 +147,11 @@ private[dedup] trait JaccardJoinOps extends Serializable { this: TextNormalizati
       // token by construction, so the union is never empty and
       // |A∪B| = |A| + |B| - |A∩B| replaces the second array_union scan
       // (both arrays are distinct by array_distinct above).
-      .withColumn("inter", size(array_intersect(col("t_a"), col("t_b"))).cast("double"))
-      .withColumn(
-        "jaccard",
-        col("inter") / (size(col("t_a")) + size(col("t_b")) - col("inter"))
-      )
+      .withColumn("inter", size(array_intersect(col("t_a"), col("t_b"))).cast("long"))
+      .withColumn("union_", (size(col("t_a")) + size(col("t_b"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_").cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "jaccard", "inter", "union_")
   }
 
   /** Bitmap set-similarity join: dictionary-encode tokens, pack each
@@ -231,7 +227,7 @@ private[dedup] trait JaccardJoinOps extends Serializable { this: TextNormalizati
         .withColumn("union_", bit_count(col("bm_a").bitwiseOR(col("bm_b"))).cast("long"))
         .withColumn("jaccard", col("inter").cast("double") / col("union_").cast("double"))
         .filter(col("jaccard") >= threshold)
-        .select("block", "id_a", "id_b", "jaccard")
+        .select("block", "id_a", "id_b", "jaccard", "inter", "union_")
     } else {
       val words = (vocab + 63) / 64
       val pack = udf { (tids: Seq[Int]) =>
@@ -257,9 +253,10 @@ private[dedup] trait JaccardJoinOps extends Serializable { this: TextNormalizati
             col("sz_b").cast("double") >= lit(threshold) * col("sz_a")
         )
         .withColumn("inter", interUdf(col("bm_a"), col("bm_b")))
-        .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        .withColumn("union_", (col("sz_a") + col("sz_b")).cast("long") - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("union_").cast("double"))
         .filter(col("jaccard") >= threshold)
-        .select("block", "id_a", "id_b", "jaccard")
+        .select("block", "id_a", "id_b", "jaccard", "inter", "union_")
     }
   }
 }

@@ -37,17 +37,24 @@ private[dedup] trait MinHashLshOps extends Serializable { this: TextNormalizatio
     f(textCol)
   }
 
-  /** Exact shingle-set Jaccard of two texts (verifier for LSH
-    * candidates — runs only on the surviving pairs).
+  /** Exact shingle-set overlap of two texts as INTEGER counts
+    * `struct<inter, union_>` (verifier for LSH candidates — runs only
+    * on the surviving pairs). Integers, not the divided double: the
+    * graded projections round the Jaccard ratio in exact integer
+    * arithmetic ([[graft.text.RepetitionStats.ratio6]] — rounding the
+    * DOUBLE ratio diverges from a SQL replay at .5·10⁻ᵈᵖ midpoints,
+    * the class the r16 sf10r sweep caught on q_repetition), so the
+    * pair output must carry the exact numerator/denominator, and the
+    * double `jaccard` is derived from them by one IEEE division.
     */
-  def shingleJaccard(aText: Column, bText: Column, shingleSize: Int): Column = {
+  def shingleOverlap(aText: Column, bText: Column, shingleSize: Int): Column = {
     val f = udf { (a: String, b: String) =>
       val sa = shingleArray(a, shingleSize).toSet
       val sb = shingleArray(b, shingleSize).toSet
-      val union = sa.size + sb.size - sa.intersect(sb).size
-      if (union == 0) 0.0 else sa.intersect(sb).size.toDouble / union
+      val inter = sa.intersect(sb).size.toLong
+      (inter, sa.size.toLong + sb.size.toLong - inter)
     }
-    f(aText, bText)
+    f(aText, bText).cast("struct<inter:bigint,union_:bigint>")
   }
 
   /** MinHash + LSH banding near-dup candidate pairs.
@@ -56,7 +63,10 @@ private[dedup] trait MinHashLshOps extends Serializable { this: TextNormalizatio
     * hash — the scale path: no cross product, shuffle keyed by bucket).
     * Candidates are then verified with true Jaccard over shingle sets.
     *
-    * Returns pairs (id_a < id_b) with estimated + exact Jaccard.
+    * Returns pairs (id_a < id_b) with the exact Jaccard double plus
+    * its integer `inter`/`union_` pair (see [[shingleOverlap]] — the
+    * threshold compares the raw double, identically on engine and
+    * oracle; the integers exist so graded rounding can be exact).
     */
   def minHashLshPairs(
       df: DataFrame,
@@ -99,8 +109,13 @@ private[dedup] trait MinHashLshOps extends Serializable { this: TextNormalizatio
     candidates
       .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
       .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .withColumn("jaccard", shingleJaccard(col("text_a"), col("text_b"), shingleSize))
+      .withColumn("__o", shingleOverlap(col("text_a"), col("text_b"), shingleSize))
+      .withColumn(
+        "jaccard",
+        when(col("__o.union_") === 0, lit(0.0))
+          .otherwise(col("__o.inter").cast("double") / col("__o.union_").cast("double")))
       .filter(col("jaccard") >= jaccardThreshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("__o.inter").as("inter"), col("__o.union_").as("union_"))
   }
 }

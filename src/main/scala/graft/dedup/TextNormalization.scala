@@ -21,18 +21,6 @@ private[dedup] trait TextNormalization extends Serializable {
   /** Exact-hash content key. */
   def contentHash(c: Column): Column = md5(normalizedText(c))
 
-  /** Word-level shingles (n-grams of tokens) as the MinHash universe. */
-  def shingles(textCol: Column, n: Int): Column = {
-    val tokens = split(normalizedText(textCol), " ")
-    when(size(tokens) < n, array(concat_ws(" ", tokens)))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(tokens) - n),
-          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))
-        )
-      )
-  }
-
   /** Distinct word n-grams in ONE fused pass (UDF) — a
     * LinkedHashSet-dedup over [[shingleArray]], so the signature
     * builder, the candidate verifier, and this index-side helper share

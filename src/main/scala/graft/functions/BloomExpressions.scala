@@ -74,7 +74,21 @@ case class BloomMightContain(child: Expression, bc: Broadcast[BloomFilter])
 object BloomExpressions {
   import org.apache.spark.sql.GraftBridge
 
-  /** Column wrapper for [[BloomMightContain]]. */
+  /** Column wrapper for [[BloomMightContain]] — deliberately the ONLY
+    * public surface. Unlike `dot_product`, this expression is NOT
+    * registered in [[GraftFunctions]]: a FunctionRegistry builder gets
+    * just the argument Expressions parsed from SQL text, and a
+    * `Broadcast[BloomFilter]` handle cannot ride through SQL text — it
+    * exists only as a JVM object created by the caller that built the
+    * filter. Spark's own `bloom_filter_agg`/`might_contain` SQL pair
+    * solves this by making the FILTER ITSELF a value in the plan
+    * (an aggregate producing binary); callers who want a pure-SQL
+    * route should use that pair. This expression exists for the dedup
+    * operators' shape — filter built once on the driver, broadcast,
+    * probed from codegen with zero per-row boxing — where the handle
+    * is naturally in scope. (VERDICT r16 #7: documented decision over
+    * a registration that could only ever throw at parse time.)
+    */
   def mightContain(c: Column, bc: Broadcast[BloomFilter]): Column =
     GraftBridge.column(BloomMightContain(GraftBridge.expression(c), bc))
 }

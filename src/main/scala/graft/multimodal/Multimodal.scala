@@ -65,11 +65,16 @@ object Multimodal {
 
     /** Decoded image statistics. Channel means are one IEEE division
       * of an exact integer sum — bit-reproducible in any engine that
-      * performs the same division (the oracle-parity rule used across
-      * this catalog).
+      * performs the same division — and the integer sums ride along
+      * (r17): a graded ROUNDING of the mean must happen in exact
+      * integer arithmetic (sum/(w·h) is an integer ratio, the
+      * RepetitionStats.ratio6 midpoint class — e.g. a 16×10 image has
+      * denominator 160, whose odd-numerator ratios sit exactly on
+      * 4-dp midpoints that the two engines' double paths round apart).
       */
     final case class ImageStats(
-        width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double)
+        width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double,
+        sumR: Long, sumG: Long, sumB: Long)
 
     /** Nearest-neighbor half-scale: decode, sample out(x,y) =
       * in(2x, 2y), re-encode. Nearest-neighbor (not bilinear) is the
@@ -117,7 +122,7 @@ object Multimodal {
         y += 1
       }
       val n = (w.toLong * h).toDouble
-      ImageStats(w, h, sr / n, sg / n, sb / n)
+      ImageStats(w, h, sr / n, sg / n, sb / n, sr, sg, sb)
     }
   }
 
@@ -206,7 +211,8 @@ object Multimodal {
       */
     final case class AudioStats(
         sampleRate: Int, channels: Int, frames: Long,
-        durationMs: Long, meanAbs: Double, peak: Int)
+        durationMs: Long, meanAbs: Double, peak: Int,
+        sumAbs: Long, nSamples: Long)
 
     def decodeStats(bytes: Array[Byte]): AudioStats = {
       val ais = readAudio(bytes)
@@ -241,7 +247,9 @@ object Multimodal {
         frames = frames,
         durationMs = frames * 1000L / rate,
         meanAbs = if (nSamples == 0) 0.0 else sumAbs.toDouble / nSamples,
-        peak = peak
+        peak = peak,
+        sumAbs = sumAbs,
+        nSamples = nSamples.toLong
       )
     }
   }
@@ -427,7 +435,10 @@ object Multimodal {
       StructField("img_height", IntegerType, nullable = false),
       StructField("mean_r", DoubleType, nullable = false),
       StructField("mean_g", DoubleType, nullable = false),
-      StructField("mean_b", DoubleType, nullable = false)
+      StructField("mean_b", DoubleType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)
     ))
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
@@ -436,7 +447,8 @@ object Multimodal {
           val s = ImageCodec.decodeStats(r.getAs[Array[Byte]](binIdx))
           // Seq[Any]: a plain Seq would numerically widen the Int dims
           // to Double and break the row encoder's INT fields
-          Row.fromSeq(r.toSeq ++ Seq[Any](s.width, s.height, s.meanR, s.meanG, s.meanB))
+          Row.fromSeq(r.toSeq ++ Seq[Any](s.width, s.height, s.meanR, s.meanG, s.meanB,
+            s.sumR, s.sumG, s.sumB))
         }
       }
     }(Encoders.row(outSchema))
@@ -491,7 +503,9 @@ object Multimodal {
       StructField("frames", LongType, nullable = false),
       StructField("duration_ms", LongType, nullable = false),
       StructField("mean_abs", DoubleType, nullable = false),
-      StructField("peak", IntegerType, nullable = false)
+      StructField("peak", IntegerType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false)
     ))
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
@@ -499,7 +513,8 @@ object Multimodal {
         batch.iterator.map { r =>
           val s = AudioCodec.decodeStats(r.getAs[Array[Byte]](binIdx))
           Row.fromSeq(r.toSeq ++ Seq[Any](
-            s.sampleRate, s.channels, s.frames, s.durationMs, s.meanAbs, s.peak))
+            s.sampleRate, s.channels, s.frames, s.durationMs, s.meanAbs, s.peak,
+            s.sumAbs, s.nSamples))
         }
       }
     }(Encoders.row(outSchema))
@@ -539,7 +554,8 @@ object Multimodal {
       StructField("fps", IntegerType, nullable = false),
       StructField("duration_ms", LongType, nullable = false),
       StructField("mean_level", DoubleType, nullable = false),
-      StructField("peak_level", IntegerType, nullable = false)
+      StructField("peak_level", IntegerType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false)
     ))
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
@@ -547,7 +563,8 @@ object Multimodal {
         batch.iterator.map { r =>
           val s = VideoCodec.decodeAviMjpeg(r.getAs[Array[Byte]](binIdx))
           Row.fromSeq(r.toSeq ++ Seq[Any](
-            s.width, s.height, s.nFrames, s.fps, s.durationMs, s.meanLevel, s.peakLevel))
+            s.width, s.height, s.nFrames, s.fps, s.durationMs, s.meanLevel, s.peakLevel,
+            s.pixelSum))
         }
       }
     }(Encoders.row(outSchema))

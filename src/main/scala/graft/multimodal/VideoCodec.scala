@@ -171,7 +171,8 @@ object VideoCodec {
     */
   final case class VideoStats(
       width: Int, height: Int, nFrames: Int, fps: Int,
-      durationMs: Long, meanLevel: Double, peakLevel: Int)
+      durationMs: Long, meanLevel: Double, peakLevel: Int,
+      pixelSum: Long)
 
   private def fourccAt(bb: ByteBuffer, pos: Int): String = {
     val a = new Array[Byte](4)
@@ -269,7 +270,8 @@ object VideoCodec {
       fps = fps,
       durationMs = decodedFrames.toLong * 1000L / fps,
       meanLevel = pixelSum.toDouble / (decodedFrames.toLong * width * height),
-      peakLevel = peak
+      peakLevel = peak,
+      pixelSum = pixelSum
     )
   }
 

@@ -11,20 +11,45 @@ import org.apache.spark.sql.functions._
   */
 object QualityMonitor {
 
-  /** G3 — chunk-size distribution (quality_monitor.py:25-47). */
+  /** G3 — chunk-size distribution (quality_monitor.py:25-47).
+    *
+    * The averages of the two INTEGER columns are integer ratios, so
+    * they round HALF_UP at 4 dp in exact integer arithmetic (the
+    * RepetitionStats.ratio6 midpoint class — round(avg(ints), 4) can
+    * land exactly on .5·10⁻⁵ where a SQL replay's round() disagrees).
+    * The medians stay round(): an int-column median is k or k.5
+    * (dyadic-exact — its 10⁴ scaling is exactly representable, so both
+    * engines see the true value and agree); the stds stay round():
+    * irrational operands never SIT on a decimal midpoint.
+    */
   def sizeDistribution(df: DataFrame, charsCol: String, tokensCol: String): DataFrame =
     df.agg(
       count(lit(1)).as("total_chunks"),
       min(col(charsCol)).as("min_chars"),
       max(col(charsCol)).as("max_chars"),
-      round(avg(col(charsCol)), 4).as("avg_chars"),
+      sum(col(charsCol).cast("long")).as("__sum_chars"),
       round(expr(s"percentile($charsCol, 0.5)"), 4).as("median_chars"),
       round(stddev_pop(col(charsCol)), 4).as("std_chars"),
       min(col(tokensCol)).as("min_tokens"),
       max(col(tokensCol)).as("max_tokens"),
-      round(avg(col(tokensCol)), 4).as("avg_tokens"),
+      sum(col(tokensCol).cast("long")).as("__sum_tokens"),
       round(expr(s"percentile($tokensCol, 0.5)"), 4).as("median_tokens")
-    )
+    ).withColumn(
+      "avg_chars",
+      when(col("total_chunks") === 0, lit(null).cast("double")).otherwise(
+        expr("(2 * __sum_chars * 10000 + total_chunks) div (2 * total_chunks)")
+          .cast("double") / lit(1e4))
+    ).withColumn(
+      "avg_tokens",
+      when(col("total_chunks") === 0, lit(null).cast("double")).otherwise(
+        expr("(2 * __sum_tokens * 10000 + total_chunks) div (2 * total_chunks)")
+          .cast("double") / lit(1e4))
+    ).select(
+      col("total_chunks"),
+      col("min_chars"), col("max_chars"), col("avg_chars"),
+      col("median_chars"), col("std_chars"),
+      col("min_tokens"), col("max_tokens"), col("avg_tokens"),
+      col("median_tokens"))
 
   /** G4 — fixed-width histogram of a numeric column (30 bins by
     * default, quality_monitor.py:49-77). min/max resolved in the same
@@ -55,7 +80,14 @@ object QualityMonitor {
     val total = counts.agg(sum(col("count")).as("__total"))
     counts
       .crossJoin(broadcast(total))
-      .withColumn("pct", round(col("count") * 100.0 / col("__total"), 4))
+      // pct = count·100/__total rounded HALF_UP at 4 dp ENTIRELY in
+      // integer arithmetic (count·100 at 4 dp ≡ scale 10⁶ on the raw
+      // ratio — the RepetitionStats.ratio6 class): rounding the double
+      // ratio diverges from a SQL replay at .5·10⁻⁵ midpoints, which
+      // integer count ratios CAN hit exactly (r16 caught the 6-dp twin
+      // on q_repetition). __total > 0 whenever a row exists.
+      .withColumn("pct",
+        expr("(2 * `count` * 1000000 + __total) div (2 * __total)").cast("double") / lit(1e4))
       .drop("__total")
       .orderBy(desc("count"), col(langCol))
   }
@@ -82,11 +114,29 @@ object QualityMonitor {
   def report(df: DataFrame, tokensCol: String): DataFrame =
     df.agg(
       count(lit(1)).as("total_chunks"),
-      round(inRangeRatio(col(tokensCol)) * 100.0, 4).as("in_range_pct"),
+      // integer numerator for the exact-rounded percentage below (the
+      // double-rounding midpoint class — see languageDistribution)
+      sum(when(col(tokensCol).between(QualityGates.TokenRangeLo, QualityGates.TokenRangeHi), 1L)
+        .otherwise(0L)).as("__in_range"),
+      sum(col(tokensCol).cast("long")).as("__sum_tokens"),
       round(coefficientOfVariation(col(tokensCol)), 4).as("cv_pct"),
-      round(avg(col(tokensCol)), 4).as("avg_tokens"),
       round(stddev_pop(col(tokensCol)), 4).as("std_tokens")
     ).withColumn(
+      // integer-column average: exact-integer 4-dp HALF_UP (see
+      // sizeDistribution)
+      "avg_tokens",
+      when(col("total_chunks") === 0, lit(null).cast("double")).otherwise(
+        expr("(2 * __sum_tokens * 10000 + total_chunks) div (2 * total_chunks)")
+          .cast("double") / lit(1e4))
+    ).withColumn(
+      "in_range_pct",
+      when(col("total_chunks") === 0, lit(null).cast("double")).otherwise(
+        expr("(2 * __in_range * 1000000 + total_chunks) div (2 * total_chunks)")
+          .cast("double") / lit(1e4))
+    ).drop("__in_range")
+      .select(col("total_chunks"), col("in_range_pct"), col("cv_pct"),
+        col("avg_tokens"), col("std_tokens"))
+      .withColumn(
       "recommendation",
       when(col("in_range_pct") < QualityGates.MinInRangeRatio * 100, lit("adjust_chunk_size"))
         .when(col("cv_pct") > QualityGates.MaxCoefficientOfVariation, lit("high_variance"))

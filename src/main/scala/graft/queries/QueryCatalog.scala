@@ -229,16 +229,24 @@ object QueryCatalog {
         // at any scale.
         (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
           .as("sum_base_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        // l_quantity is integer-valued, so avg_qty is an INTEGER RATIO
+        // — exact-integer 4-dp HALF_UP (ratioCol; the r16 midpoint
+        // class), not round(avg): integer ratios can sit exactly on
+        // .5·10⁻⁵ and the engines' double-rounding paths disagree there
+        sum(col("l_quantity").cast("long")).as("__sum_qty_l"),
         count(lit(1)).as("count_order")
       )
+      .withColumn("avg_qty", ratioCol("__sum_qty_l", "count_order", 10000L))
+      .drop("__sum_qty_l")
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("avg_qty"), col("count_order"))
   }
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
-       round(avg(l_quantity), 4) AS avg_qty,
+       ((2 * sum(CAST(l_quantity AS BIGINT)) * 10000 + count(*)) // (2 * count(*))) / 10000.0 AS avg_qty,
        count(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -252,16 +260,24 @@ object QueryCatalog {
     val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = tbl(s, dir, "orders")
     val l = tbl(s, dir, "lineitem")
+    // revenue terms are 10⁻⁴-exact (cents × integer-percent discount),
+    // so the TRUE group sum can end exactly in .xx50 — a genuine 2-dp
+    // midpoint the engines' double paths round apart (the r16 class).
+    // Per-term scale-to-integer (rule-independent on identical
+    // doubles) → exact bigint sum → exact-integer 2-dp HALF_UP.
     l.join(broadcast(c.join(o, c("c_custkey") === o("o_custkey"))), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(10000))
+        .cast("long")).as("__rev4"))
+      .withColumn("revenue", expr("(__rev4 + 50) div 100").cast("double") / lit(100.0))
+      .select(col("o_orderkey"), col("revenue"))
       .orderBy(desc("revenue"), col("o_orderkey"))
       .limit(10)
   }
 
   val q3JoinTopKSql: String =
     """SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100) / 100.0 AS revenue
        FROM customer, orders, lineitem
        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
        GROUP BY o_orderkey
@@ -1016,8 +1032,10 @@ object QueryCatalog {
     val pairs = Dedup.minHashLshPairs(
       rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap)), "doc_id", "text",
       shingleSize = 2, numHashes = 64, bands = 16, jaccardThreshold = 0.8)
+    // graded value exact-integer rounded from the verifier's inter/union_
+    // (the ratio6 midpoint class, r17); threshold already compared raw
     pairs
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), ratio6Col("inter", "union_").as("jaccard"))
   }
 
   val qNgramJaccardSql: String =
@@ -1031,14 +1049,17 @@ object QueryCatalog {
                         WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
                         ELSE list_transform(range(1, len(toks)),
                                             i -> toks[i] || ' ' || toks[i+1]) END) AS s
-            FROM t)
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 round(len(list_intersect(a.s, b.s)) * 1.0 /
-                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
-            AND len(list_intersect(a.s, b.s)) * 1.0 /
-                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            FROM t),
+          p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          -- exact-integer 6-dp HALF_UP (RepetitionStats.ratio6 mirror);
+          -- the threshold compares the RAW ratio, identical to the engine
+          SELECT id_a, id_b,
+                 ((2 * i * 1000000 + u) // (2 * u)) / 1000000.0 AS jaccard
+          FROM p WHERE u > 0 AND i * 1.0 / u >= 0.8
           ORDER BY id_a, id_b"""
 
   /** Corpus-wide line-level dedup survival stats (C4/RefinedWeb
@@ -1088,7 +1109,7 @@ object QueryCatalog {
   val qMinHashLsh: Q = (s, dir) =>
     Dedup
       .minHashLshPairs(rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap)), "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.8)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), ratio6Col("inter", "union_").as("jaccard"))
 
   val qMinHashLshSql: String =
     raw"""WITH t AS (
@@ -1101,14 +1122,17 @@ object QueryCatalog {
                         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
                         ELSE list_transform(range(1, len(toks) - 1),
                                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
-            FROM t)
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 round(len(list_intersect(a.s, b.s)) * 1.0 /
-                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
-            AND len(list_intersect(a.s, b.s)) * 1.0 /
-                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            FROM t),
+          p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          -- exact-integer 6-dp HALF_UP (RepetitionStats.ratio6 mirror);
+          -- the threshold compares the RAW ratio, identical to the engine
+          SELECT id_a, id_b,
+                 ((2 * i * 1000000 + u) // (2 * u)) / 1000000.0 AS jaccard
+          FROM p WHERE u > 0 AND i * 1.0 / u >= 0.8
           ORDER BY id_a, id_b"""
 
   /** Near-dup CLUSTER assignment: connected components over the
@@ -1410,10 +1434,13 @@ object QueryCatalog {
       .embeddingNearDupPairsBanded(u, "vec_id", "embedding", 0.95, bands = 8, bitsPerBand = 8)
       .agg(count(lit(1)).as("banded_found"))
     nTrue.crossJoin(single).crossJoin(banded)
+      // recall fractions are integer ratios — exact-integer 4-dp HALF_UP
+      // (ratioCol; the r16 midpoint class at a different dp). n_true > 0
+      // by construction: the planted near-dup twins guarantee true pairs.
       .select(
         col("n_true"), col("single_found"), col("banded_found"),
-        round(col("single_found").cast("double") / col("n_true"), 4).as("recall_single"),
-        round(col("banded_found").cast("double") / col("n_true"), 4).as("recall_banded"))
+        ratioCol("single_found", "n_true", 10000L).as("recall_single"),
+        ratioCol("banded_found", "n_true", 10000L).as("recall_banded"))
   }
 
   val qEmbedNearDupBandedSql: String =
@@ -1439,13 +1466,18 @@ object QueryCatalog {
          WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95),
        j AS (
          SELECT ka.bks AS ba, kb.bks AS bb
-         FROM brute JOIN keys ka ON ka.vec_id = brute.ia JOIN keys kb ON kb.vec_id = brute.ib)
-       SELECT count(*) AS n_true,
-              CAST(sum(CASE WHEN ba[1] = bb[1] THEN 1 ELSE 0 END) AS BIGINT) AS single_found,
-              CAST(sum(CASE WHEN len(list_filter(range(1, 9), b -> ba[CAST(b AS INT)] = bb[CAST(b AS INT)])) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS banded_found,
-              round(CAST(sum(CASE WHEN ba[1] = bb[1] THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_single,
-              round(CAST(sum(CASE WHEN len(list_filter(range(1, 9), b -> ba[CAST(b AS INT)] = bb[CAST(b AS INT)])) > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall_banded
-       FROM j"""
+         FROM brute JOIN keys ka ON ka.vec_id = brute.ia JOIN keys kb ON kb.vec_id = brute.ib),
+       counts AS (
+         SELECT count(*) AS n_true,
+                CAST(sum(CASE WHEN ba[1] = bb[1] THEN 1 ELSE 0 END) AS BIGINT) AS single_found,
+                CAST(sum(CASE WHEN len(list_filter(range(1, 9), b -> ba[CAST(b AS INT)] = bb[CAST(b AS INT)])) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS banded_found
+         FROM j)
+       -- recall = found/n_true, exact-integer 4-dp HALF_UP (the
+       -- RepetitionStats.ratio6 mirror at scale 10^4)
+       SELECT n_true, single_found, banded_found,
+              ((2 * single_found * 10000 + n_true) // (2 * n_true)) / 10000.0 AS recall_single,
+              ((2 * banded_found * 10000 + n_true) // (2 * n_true)) / 10000.0 AS recall_banded
+       FROM counts"""
 
   // ---------------------------------------------------------------
   // Quality / stats (G-operators)
@@ -1456,9 +1488,13 @@ object QueryCatalog {
       .languageDistribution(tbl(s, dir, "documents"), "lang")
 
   val qLangDistSql: String =
-    """SELECT lang, count(*) AS "count",
-       round(count(*) * 100.0 / (sum(count(*)) OVER ()), 4) AS pct
-       FROM documents GROUP BY lang ORDER BY count DESC, lang"""
+    """WITH c AS (SELECT lang, count(*) AS "count" FROM documents GROUP BY lang)
+       -- pct exact-integer 4-dp HALF_UP (count·100 at 4 dp = scale 10^6
+       -- on the raw ratio; the RepetitionStats.ratio6 mirror)
+       SELECT lang, "count",
+              ((2 * "count" * 1000000 + t) // (2 * t)) / 10000.0 AS pct
+       FROM c CROSS JOIN (SELECT sum("count") AS t FROM c)
+       ORDER BY "count" DESC, lang"""
 
   val qTopUsers: Q = (s, dir) =>
     QualityMonitor.topSources(eventsRaw(s, dir), "user_id", 10)
@@ -1486,11 +1522,14 @@ object QueryCatalog {
        FROM documents)
        SELECT count(*) AS total_chunks,
          CAST(min(chars) AS INT) AS min_chars, CAST(max(chars) AS INT) AS max_chars,
-         round(avg(chars), 4) AS avg_chars,
+         -- integer-column averages: exact-integer 4-dp HALF_UP
+         -- (RepetitionStats.ratio6 mirror); medians are dyadic-exact
+         -- (k or k.5), stds irrational — both keep round()
+         ((2 * sum(CAST(chars AS BIGINT)) * 10000 + count(*)) // (2 * count(*))) / 10000.0 AS avg_chars,
          round(median(chars), 4) AS median_chars,
          round(stddev_pop(chars), 4) AS std_chars,
          min(tokens) AS min_tokens, max(tokens) AS max_tokens,
-         round(avg(tokens), 4) AS avg_tokens,
+         ((2 * sum(CAST(tokens AS BIGINT)) * 10000 + count(*)) // (2 * count(*))) / 10000.0 AS avg_tokens,
          round(median(tokens), 4) AS median_tokens
        FROM d"""
 
@@ -1502,16 +1541,25 @@ object QueryCatalog {
   }
 
   val qQualityReportSql: String =
-    """WITH d AS (SELECT CAST(floor(length(text) / 4.0) AS INT) AS tokens FROM documents)
-       SELECT count(*) AS total_chunks,
-         round(avg(CASE WHEN tokens BETWEEN 300 AND 500 THEN 1.0 ELSE 0.0 END) * 100.0, 4) AS in_range_pct,
-         round(stddev_pop(tokens) / avg(tokens) * 100.0, 4) AS cv_pct,
-         round(avg(tokens), 4) AS avg_tokens,
-         round(stddev_pop(tokens), 4) AS std_tokens,
-         CASE WHEN avg(CASE WHEN tokens BETWEEN 300 AND 500 THEN 1.0 ELSE 0.0 END) * 100.0 < 70.0 THEN 'adjust_chunk_size'
-              WHEN stddev_pop(tokens) / avg(tokens) * 100.0 > 50.0 THEN 'high_variance'
-              ELSE 'ok' END AS recommendation
-       FROM d"""
+    """WITH d AS (SELECT CAST(floor(length(text) / 4.0) AS INT) AS tokens FROM documents),
+       agg AS (
+         SELECT count(*) AS total_chunks,
+                CAST(sum(CASE WHEN tokens BETWEEN 300 AND 500 THEN 1 ELSE 0 END) AS BIGINT) AS in_range,
+                round(stddev_pop(tokens) / avg(tokens) * 100.0, 4) AS cv_pct,
+                ((2 * sum(CAST(tokens AS BIGINT)) * 10000 + count(*)) // (2 * count(*))) / 10000.0 AS avg_tokens,
+                round(stddev_pop(tokens), 4) AS std_tokens
+         FROM d)
+       -- in_range_pct exact-integer 4-dp HALF_UP (count·100 at 4 dp =
+       -- scale 10^6 on the raw ratio; RepetitionStats.ratio6 mirror);
+       -- the recommendation thresholds compare the ROUNDED values,
+       -- mirroring QualityMonitor.report
+       SELECT total_chunks,
+              ((2 * in_range * 1000000 + total_chunks) // (2 * total_chunks)) / 10000.0 AS in_range_pct,
+              cv_pct, avg_tokens, std_tokens,
+              CASE WHEN ((2 * in_range * 1000000 + total_chunks) // (2 * total_chunks)) / 10000.0 < 70.0 THEN 'adjust_chunk_size'
+                   WHEN cv_pct > 50.0 THEN 'high_variance'
+                   ELSE 'ok' END AS recommendation
+       FROM agg"""
 
   // ---------------------------------------------------------------
   // Text analysis (training-data ops)
@@ -1560,8 +1608,10 @@ object QueryCatalog {
 
   /** Top-5 distinctive terms per document (raw-count-IDF TF-IDF; see
     * TextAnalysis.topTermsPerDoc for why not log-IDF). The oracle
-    * recomputes tf, df, and the score from scratch — the single IEEE
-    * division keeps the rounded score bit-identical across engines.
+    * recomputes tf, df, and the score from scratch; tf·N/df is an
+    * integer ratio, so both engines round it at 6 dp in exact integer
+    * arithmetic (the RepetitionStats.ratio6 class — a plain round()
+    * pair diverges at .5·10⁻⁶ midpoints, r16's q_repetition lesson).
     */
   val qTfidfTopk: Q = (s, dir) =>
     TextAnalysis.topTermsPerDoc(rebalanced(tbl(s, dir, "documents")), "doc_id", "text", 5)
@@ -1574,8 +1624,12 @@ object QueryCatalog {
           dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
           n AS (SELECT count(*) AS n FROM documents),
           scored AS (
+            -- score = tf·N/df exact-integer 6-dp HALF_UP (the
+            -- RepetitionStats.ratio6 mirror) — matches
+            -- TextAnalysis.topTermsPerDoc; ranking ties resolve over
+            -- the identical exact-rounded value on both engines
             SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
-                   round(tf.tf * n.n * 1.0 / dfc.df, 6) AS score
+                   ((2 * tf.tf * n.n * 1000000 + dfc.df) // (2 * dfc.df)) / 1000000.0 AS score
             FROM tf JOIN dfc USING (term) CROSS JOIN n)
           SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score FROM (
             SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
@@ -1639,7 +1693,14 @@ object QueryCatalog {
     * by construction (group sizes).
     */
   private def ratio6Col(numer: String, denom: String): org.apache.spark.sql.Column =
-    expr(s"(2 * $numer * 1000000 + $denom) div (2 * $denom)").cast("double") / lit(1e6)
+    ratioCol(numer, denom, 1000000L)
+
+  /** [[ratio6Col]] at an arbitrary decimal scale (10^dp) — r17 closed
+    * the same midpoint class for the 4-dp integer-ratio rows (LSH
+    * recall fractions) that r16 closed at 6 dp.
+    */
+  private def ratioCol(numer: String, denom: String, scale: Long): org.apache.spark.sql.Column =
+    expr(s"(2 * $numer * ${scale}L + $denom) div (2 * $denom)").cast("double") / lit(scale.toDouble)
 
   val qDecontaminateSql: String =
     raw"""WITH tokens AS (
@@ -2463,14 +2524,17 @@ object QueryCatalog {
       .withColumn("h", (lit(8) + pmod(col("doc_id") * 3, lit(7))).cast("int"))
       .withColumn("seed", pmod(col("doc_id"), lit(1000)).cast("int"))
     val png = Multimodal.withEncodedPng(dims, "w", "h", "seed")
+    // channel mean = integer sum / (w·h) — exact-integer 4-dp HALF_UP
+    // (ratioCol; the r16 midpoint class: e.g. w·h = 160 puts odd sums
+    // exactly on .5·10⁻⁵, where the engines' double paths round apart)
     Multimodal.withImageStats(png, "png")
       .select(
         col("doc_id"),
         col("img_width"),
         col("img_height"),
-        round(col("mean_r"), 4).as("mean_r"),
-        round(col("mean_g"), 4).as("mean_g"),
-        round(col("mean_b"), 4).as("mean_b")
+        ratioCol("sum_r", "(img_width * CAST(img_height AS BIGINT))", 10000L).as("mean_r"),
+        ratioCol("sum_g", "(img_width * CAST(img_height AS BIGINT))", 10000L).as("mean_g"),
+        ratioCol("sum_b", "(img_width * CAST(img_height AS BIGINT))", 10000L).as("mean_b")
       )
   }
 
@@ -2489,10 +2553,11 @@ object QueryCatalog {
                 sum((x * 7 + y * 13 + 2 * seed) % 256) AS sg,
                 sum((x * 3 + y * 29 + 5 * seed) % 256) AS sb
          FROM pxy GROUP BY doc_id)
+       -- channel means exact-integer 4-dp HALF_UP (ratioCol mirror)
        SELECT doc_id, w AS img_width, h AS img_height,
-              round(sr / (w * h * 1.0), 4) AS mean_r,
-              round(sg / (w * h * 1.0), 4) AS mean_g,
-              round(sb / (w * h * 1.0), 4) AS mean_b
+              ((2 * sr * 10000 + w * h) // (2 * w * h)) / 10000.0 AS mean_r,
+              ((2 * sg * 10000 + w * h) // (2 * w * h)) / 10000.0 AS mean_g,
+              ((2 * sb * 10000 + w * h) // (2 * w * h)) / 10000.0 AS mean_b
        FROM sums ORDER BY doc_id"""
 
   /** REAL audio decode end-to-end: generate genuine RIFF/WAVE PCM
@@ -2517,7 +2582,9 @@ object QueryCatalog {
         col("channels"),
         col("frames"),
         col("duration_ms"),
-        round(col("mean_abs"), 4).as("mean_abs"),
+        // integer ratio sum_abs/n_samples — exact-integer 4-dp HALF_UP
+        // (ratioCol; the r16 midpoint class)
+        ratioCol("sum_abs", "n_samples", 10000L).as("mean_abs"),
         col("peak")
       )
   }
@@ -2539,7 +2606,7 @@ object QueryCatalog {
               CAST(1 AS INT) AS channels,
               CAST(n AS BIGINT) AS frames,
               CAST(n AS BIGINT) * 1000 // 8000 AS duration_ms,
-              round(sa / (n * 1.0), 4) AS mean_abs,
+              ((2 * sa * 10000 + n) // (2 * n)) / 10000.0 AS mean_abs,
               CAST(pk AS INT) AS peak
        FROM sums ORDER BY doc_id"""
 
@@ -2575,7 +2642,12 @@ object QueryCatalog {
         col("n_frames"),
         col("fps"),
         col("duration_ms"),
-        round(col("mean_level"), 4).as("mean_level"),
+        // integer ratio pixel_sum/(frames·w·h) — exact-integer 4-dp
+        // HALF_UP. The oracle's block-level pair (s_blocks/(nf·wb·hb))
+        // is the same ratio scaled by 64 (8×8 constant blocks), and
+        // exact rational rounding is representation-independent.
+        ratioCol("pixel_sum",
+          "(CAST(n_frames AS BIGINT) * vid_width * vid_height)", 10000L).as("mean_level"),
         col("peak_level")
       )
   }
@@ -2604,7 +2676,7 @@ object QueryCatalog {
               CAST(nf AS INT) AS n_frames,
               CAST(fps AS INT) AS fps,
               CAST(nf AS BIGINT) * 1000 // fps AS duration_ms,
-              round(s / (nf * wb * hb * 1.0), 4) AS mean_level,
+              ((2 * s * 10000 + nf * wb * hb) // (2 * nf * wb * hb)) / 10000.0 AS mean_level,
               CAST(pk AS INT) AS peak_level
        FROM sums ORDER BY doc_id"""
 
@@ -3001,6 +3073,13 @@ object QueryCatalog {
       .detect(docs, "doc_id", "text")
       .toDF()
       .dropDuplicates("id", "dup_of")
+      // round(est_jaccard, 4) is midpoint-SAFE without the integer
+      // idiom: est_jaccard = matches/numHashes is a dyadic rational
+      // (k/2⁵ here), so the double is EXACT and so is its 10⁴ scaling
+      // (k·312.5 ends in .5 exactly representable) — both engines see
+      // the true midpoint and HALF_UP/half-away agree. The r16
+      // divergence class needs a NON-representable true ratio, which
+      // k/2^m can never be. (Rounding-audit bucket: dyadic-exact.)
       .select(col("id"), col("dup_of"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
@@ -3624,29 +3703,32 @@ object QueryCatalog {
     // the same GK sketch as DataFrameStatFunctions.approxQuantile but
     // composes into the agg, so the comparison costs one scan.
     val row = l
+      .withColumn("cents", round(col("l_extendedprice") * lit(100)).cast("long"))
       .agg(
+        expr("percentile(cents, array(0.5D, 0.95D))").as("exc"),
         expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ex"),
         expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("ap"))
       .head()
-    val ex = row.getSeq[Double](0)
-    val approx = row.getSeq[Double](1)
+    val exCents = row.getSeq[Double](0)
+    val ex = row.getSeq[Double](1)
+    val approx = row.getSeq[Double](2)
     val ok = approx.zip(ex).forall { case (a, e) => math.abs(a - e) / e <= 0.01 }
-    // round through Spark's round() (BigDecimal HALF_UP on the exact
-    // double) — the same semantics every other rounded oracle in this
-    // catalog relies on. An even row count puts p50 on a half-cent
-    // midpoint, where driver-side math.round(x*100) and the engines'
-    // decimal rounding can disagree.
+    // The graded percentiles interpolate over exact integer CENTS and
+    // round to an INTEGER — rounding identical doubles to an integer
+    // is rule-independent (no decimal-scale multiply is involved, and
+    // HALF_UP ≡ half-away on exact .5), unlike round(dollars, 2):
+    // an even row count puts p50 exactly on a half-cent, a
+    // non-representable decimal where BigDecimal-HALF_UP and a SQL
+    // replay's scaled round() can land apart (the r16 midpoint class).
+    // The final /100 of an integer is exact in both engines.
     import s.implicits._
-    Seq((ex(0), ex(1), ok)).toDF("p50_raw", "p95_raw", "ok")
-      .select(
-        round(col("p50_raw"), 2).as("p50"),
-        round(col("p95_raw"), 2).as("p95"),
-        col("ok").as("approx_within_1pct"))
+    Seq((math.round(exCents(0)) / 100.0, math.round(exCents(1)) / 100.0, ok))
+      .toDF("p50", "p95", "approx_within_1pct")
   }
 
   val qApproxQuantileSql: String =
-    """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+    """SELECT round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)) / 100 AS p50,
+       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95)) / 100 AS p95,
        true AS approx_within_1pct
        FROM lineitem"""
 
@@ -3670,7 +3752,7 @@ object QueryCatalog {
     val d = tbl(s, dir, "documents").filter(col("doc_id") < 500)
     Dedup
       .prefixJaccardPairs(d, "doc_id", "text", threshold = 0.8)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), ratio6Col("inter", "union_").as("jaccard"))
       .orderBy("id_a", "id_b")
   }
 
@@ -3679,14 +3761,17 @@ object QueryCatalog {
             SELECT doc_id,
                    list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'),
                                              x -> x <> '')) AS s
-            FROM documents WHERE doc_id < 500)
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 round(len(list_intersect(a.s, b.s)) * 1.0 /
-                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-          FROM t a JOIN t b ON a.doc_id < b.doc_id
-          WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
-            AND len(list_intersect(a.s, b.s)) * 1.0 /
-                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            FROM documents WHERE doc_id < 500),
+          p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s)) AS i,
+                   len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+            FROM t a JOIN t b ON a.doc_id < b.doc_id)
+          -- exact-integer 6-dp HALF_UP (RepetitionStats.ratio6 mirror);
+          -- the threshold compares the RAW ratio, identical to the engine
+          SELECT id_a, id_b,
+                 ((2 * i * 1000000 + u) // (2 * u)) / 1000000.0 AS jaccard
+          FROM p WHERE u > 0 AND i * 1.0 / u >= 0.8
           ORDER BY id_a, id_b"""
 
   /** The SQL function surface, driver-graded: after
@@ -4230,13 +4315,15 @@ object QueryCatalog {
       .withColumn("seed", pmod(col("doc_id"), lit(1000)).cast("int"))
     val png = Multimodal.withEncodedPng(dims, "w", "h", "seed")
     val small = Multimodal.withResizedPng(png, "png")
+    // exact-integer 4-dp HALF_UP over the integer channel sums — see
+    // qImageFeatures
     Multimodal.withImageStats(small.drop("png"), "png_small")
       .select(
         col("doc_id"),
         col("img_width"), col("img_height"),
-        round(col("mean_r"), 4).as("mean_r"),
-        round(col("mean_g"), 4).as("mean_g"),
-        round(col("mean_b"), 4).as("mean_b"))
+        ratioCol("sum_r", "(img_width * CAST(img_height AS BIGINT))", 10000L).as("mean_r"),
+        ratioCol("sum_g", "(img_width * CAST(img_height AS BIGINT))", 10000L).as("mean_g"),
+        ratioCol("sum_b", "(img_width * CAST(img_height AS BIGINT))", 10000L).as("mean_b"))
   }
 
   val qImageResizeSql: String =
@@ -4255,9 +4342,9 @@ object QueryCatalog {
                 sum((2 * x * 3 + 2 * y * 29 + 5 * seed) % 256) AS sb
          FROM pxy GROUP BY doc_id)
        SELECT doc_id, w2 AS img_width, h2 AS img_height,
-              round(sr / (w2 * h2 * 1.0), 4) AS mean_r,
-              round(sg / (w2 * h2 * 1.0), 4) AS mean_g,
-              round(sb / (w2 * h2 * 1.0), 4) AS mean_b
+              ((2 * sr * 10000 + w2 * h2) // (2 * w2 * h2)) / 10000.0 AS mean_r,
+              ((2 * sg * 10000 + w2 * h2) // (2 * w2 * h2)) / 10000.0 AS mean_g,
+              ((2 * sb * 10000 + w2 * h2) // (2 * w2 * h2)) / 10000.0 AS mean_b
        FROM sums ORDER BY doc_id"""
 
   /** Duplicate-span scrubbing

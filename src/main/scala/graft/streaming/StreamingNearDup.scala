@@ -187,9 +187,10 @@ object StreamingNearDup {
       numHashes: Int = 32,
       bands: Int = 8,
       jaccardThreshold: Double = 0.8,
-      maxPerBucket: Int = 64
+      maxPerBucket: Int = 64,
+      ttlMs: Long = 0L
   ): Dataset[NearDupHit] =
     nearDupHits(
       bandObservations(docs, idCol, textCol, shingleSize, numHashes, bands),
-      jaccardThreshold, maxPerBucket)
+      jaccardThreshold, maxPerBucket, ttlMs)
 }

@@ -46,12 +46,23 @@ object RepetitionStats {
     * the r16 sf10r sweep caught 16 salted-fixture docs whose
     * top-3-gram ratio was exactly 0.0640625, which the two engines'
     * double paths rounded to 0.064063 and 0.064062 respectively
-    * (records/sweep_sf10r_r16.log). Overflow-safe while
-    * numer ≤ ~4.6·10¹² — corpus documents are megabytes at most.
+    * (records/sweep_sf10r_r16.log).
+    *
+    * The fast path is exact while 2·numer·10⁶ + denom fits a Long
+    * (numer ≲ 4.6·10¹²; corpus documents are megabytes at most, and
+    * the char-weighted line stats top out around chars² per doc). A
+    * pathological input past that bound must not grade WRONG silently
+    * (ADVICE r16), so it falls over to the same formula in BigInt —
+    * still exact, never a misrounded double. The Column-side mirror
+    * (QueryCatalog.ratio6Col) needs no twin guard: Spark 4 runs ANSI
+    * by default, so a bigint overflow there throws loudly.
     */
   private[text] def ratio6(numer: Long, denom: Long): Double =
     if (denom == 0L) 0.0
-    else ((2L * numer * 1000000L + denom) / (2L * denom)).toDouble / 1e6
+    else if (numer <= (Long.MaxValue - denom) / 2000000L)
+      ((2L * numer * 1000000L + denom) / (2L * denom)).toDouble / 1e6
+    else
+      ((BigInt(2) * numer * 1000000 + denom) / (BigInt(2) * denom)).toDouble / 1e6
 
   private[text] def ngramCounts(toks: Array[String], n: Int): scala.collection.mutable.Map[String, Int] = {
     val m = scala.collection.mutable.HashMap.empty[String, Int]

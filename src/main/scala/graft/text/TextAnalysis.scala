@@ -213,7 +213,17 @@ object TextAnalysis {
     val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
     tf.join(dfCounts, Seq("term"))
-      .withColumn("score", round(col("tf").cast("double") * lit(n.toDouble) / col("df"), 6))
+      // score = tf·N/df rounded HALF_UP at 6 dp in exact INTEGER
+      // arithmetic (the RepetitionStats.ratio6 class): tf, N, df are
+      // all integers, and integer ratios can land exactly on .5·10⁻⁶
+      // midpoints where Spark round() and a SQL replay's round()
+      // disagree (the r16 q_repetition divergence). The rank order is
+      // over the exact-rounded value on both engines, so ranking ties
+      // resolve identically too. df > 0 by construction (every term
+      // joined here appeared in >= 1 doc); 2·tf·N·10⁶ stays far under
+      // Long.Max at any plausible corpus (ANSI would throw, not wrap).
+      .withColumn("score",
+        expr(s"(2 * tf * ${n}L * 1000000 + df) div (2 * df)").cast("double") / lit(1e6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("doc_id", "rank", "term", "tf", "df", "score")

@@ -48,13 +48,17 @@ object ScrubSpansProbe {
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
       var last = (shuffleWrite.get(), diskSpill.get())
       var stableSince = System.nanoTime()
-      while (System.nanoTime() < deadline &&
-          (System.nanoTime() - stableSince) < 1000L * 1000 * 1000) {
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
         Thread.sleep(100)
         val now = (shuffleWrite.get(), diskSpill.get())
         if (now != last) { last = now; stableSince = System.nanoTime() }
+        else settled = (System.nanoTime() - stableSince) >= 1000L * 1000 * 1000
       }
-      if (System.nanoTime() >= deadline)
+      // warn only on a GENUINE timeout — the old `now >= deadline`
+      // check also fired when stability landed exactly at the deadline
+      // (ADVICE r16), turning a clean drain into a scary log line
+      if (!settled)
         println("[scrubprobe] WARN listener bus did not settle in 15s; GB figures may be low")
     }
   }

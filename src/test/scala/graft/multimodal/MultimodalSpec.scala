@@ -80,7 +80,7 @@ class MultimodalSpec extends SparkTestBase {
     val golden = java.util.Base64.getDecoder.decode(
       "iVBORw0KGgoAAAANSUhEUgAAAAIAAAACCAIAAAD91JpzAAAAFklEQVR4XmNg5ZJUEZRhEBM3M5WzBAAHngFp+Z9bCAAAAABJRU5ErkJggg==")
     val st = Multimodal.ImageCodec.decodeStats(golden)
-    assert(st == Multimodal.ImageCodec.ImageStats(2, 2, 29.0, 20.0, 41.0))
+    assert(st == Multimodal.ImageCodec.ImageStats(2, 2, 29.0, 20.0, 41.0, 116L, 80L, 164L))
     // and today's encoder still produces byte-identical output
     assert(Multimodal.ImageCodec.encodePng(2, 2, 5).toSeq == golden.toSeq)
   }

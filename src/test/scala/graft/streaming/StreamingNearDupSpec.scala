@@ -122,10 +122,7 @@ class StreamingNearDupSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     // Exercises ACTUAL bucket expiry (VERDICT r15 #7): the earlier TTL
     // spec pinned only the timeout-mode derivation (batch execution
-    // never fires timeouts). Wall-clock based — the sleep only needs
-    // to EXCEED the TTL, and extra delay just expires the state
-    // harder, so the test cannot flake toward a false pass of the
-    // "resident survived" branch.
+    // never fires timeouts).
     //
     // processAllAvailable() CANNOT be the barrier here: with
     // ProcessingTimeTimeout the engine re-triggers batches
@@ -133,11 +130,17 @@ class StreamingNearDupSpec extends SparkTestBase {
     // groups get swept), `noNewData` is therefore never set, and
     // processAllAvailable blocks forever. Input progress is instead
     // tracked through a StreamingQueryListener and each phase waits
-    // until its docs were consumed. Those continuous empty batches are
-    // also what GUARANTEES the sweep: during the sleep the engine
-    // keeps running (empty) batches, and the first one past the
-    // expiry fires hasTimedOut -> state.remove() — long before the
-    // next doc arrives with data for that bucket.
+    // until its docs were consumed.
+    //
+    // The expiry barrier is the STATE ROW COUNT, not a sleep (VERDICT
+    // r16 #4): a fixed `sleep(ttl * margin)` assumed a sweep batch
+    // fired inside the margin, which a stalled scheduler on a loaded
+    // host can miss — flatMapGroupsWithState timeouts only fire when
+    // a batch actually RUNS past the deadline. The listener tracks
+    // stateOperators.numRowsTotal from each progress event; doc 9 is
+    // only added after the engine itself reports the resident's
+    // bucket rows were removed (numRowsTotal == 0), so the negative
+    // assertion cannot race the sweep no matter how slow the host is.
     val ttlMs = 1000L
     val input = MemoryStream[(Long, String)]
     val docs = input.toDS().toDF("id", "text")
@@ -149,12 +152,20 @@ class StreamingNearDupSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("neardup_ttl")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
       .outputMode("append").start()
+    val stateRows = new java.util.concurrent.atomic.AtomicLong(-1L)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.id == q.id) inputRows.addAndGet(e.progress.numInputRows)
+        if (e.progress.id == q.id) {
+          // state BEFORE input: waitConsumed() readers key off
+          // inputRows, so by the time they see doc 1 consumed the
+          // same event's numRowsTotal (> 0) is already visible — the
+          // expiry wait can never read a STALE 0 from a pre-doc batch
+          e.progress.stateOperators.headOption.foreach(s => stateRows.set(s.numRowsTotal))
+          inputRows.addAndGet(e.progress.numInputRows)
+        }
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
@@ -167,7 +178,15 @@ class StreamingNearDupSpec extends SparkTestBase {
     try {
       input.addData((1L, base))
       waitConsumed(1)
-      Thread.sleep(ttlMs * 4) // sweep batches run throughout; 1 ages out
+      // wait until the engine REPORTS the expiry happened: resident
+      // 1's bucket rows appear (> 0) and are then swept back to 0 by
+      // a post-TTL batch — the continuous ProcessingTime(100ms)
+      // triggers keep running (empty) batches, and the first one past
+      // the deadline fires hasTimedOut -> state.remove()
+      val sweepDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (stateRows.get() != 0L && System.nanoTime() < sweepDeadline) Thread.sleep(50)
+      assert(stateRows.get() == 0L,
+        s"resident 1's state rows were not swept within 60s (numRowsTotal=${stateRows.get()})")
       input.addData((9L, base)) // same text as 1 — but 1 has aged out
       waitConsumed(2)
       // state must still WORK after an expiry: 10 matches the fresh 9
