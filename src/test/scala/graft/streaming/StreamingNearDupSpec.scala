@@ -189,18 +189,34 @@ class StreamingNearDupSpec extends SparkTestBase {
         s"resident 1's state rows were not swept within 60s (numRowsTotal=${stateRows.get()})")
       input.addData((9L, base)) // same text as 1 — but 1 has aged out
       waitConsumed(2)
-      // state must still WORK after an expiry: 10 matches the fresh 9
-      input.addData((10L, base))
-      waitConsumed(3)
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
       def hitSet() = spark.table("neardup_ttl").as[NearDupHit].collect()
         .map(h => (h.id, h.dup_of)).distinct.toSet
-      while (!hitSet().contains((10L, 9L)) && System.nanoTime() < deadline) Thread.sleep(100)
+      // 9 must never match the aged-out 1 — sound regardless of host
+      // load: 1's bucket rows were observed swept to 0 before 9 was
+      // even added, so (9, 1) cannot exist now or later
+      assert(!hitSet().exists(_._2 == 1L),
+        s"resident 1 should have aged out before 9 arrived: ${hitSet()}")
+      // state must still WORK after an expiry: some later same-text
+      // doc matches a POST-expiry resident. A single fixed pair ("10
+      // matches 9") is load-sensitive — on a stalled host the batch
+      // carrying 10 can itself run past 9's TTL, so 9 has LEGITIMATELY
+      // expired and no hit is due (observed once under load ~19 in
+      // r17's 5-run soak). So feed docs until one lands inside a
+      // resident's TTL window; under load consecutive adds coalesce
+      // into ONE micro-batch, where the match is order-guaranteed
+      // (in-batch arrivals are processed in id order against the
+      // batch's own fresh residents), so the loop converges FASTER the
+      // more loaded the host is.
+      var next = 10L
+      while (!hitSet().exists(_._2 >= 9L) && next < 22L) {
+        input.addData((next, base))
+        waitConsumed(next - 7L) // consumed so far: doc 1, doc 9, 10..next
+        next += 1
+      }
       val hits = hitSet()
-      assert(hits.contains((10L, 9L)), s"fresh resident 9 must still match 10: $hits")
-      assert(!hits.contains((9L, 1L)),
-        s"resident 1 should have aged out before 9 arrived: $hits")
-      assert(!hits.exists(_._1 == 9L), s"9 must match nothing after the expiry: $hits")
+      assert(hits.exists(_._2 >= 9L),
+        s"no post-expiry pair matched within ${next - 10} follow-up docs: $hits")
+      assert(!hits.exists(_._2 == 1L), s"nothing may match the aged-out 1: $hits")
     } finally {
       q.stop()
       spark.streams.removeListener(listener)
