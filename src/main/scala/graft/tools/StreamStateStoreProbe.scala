@@ -72,6 +72,13 @@ object StreamStateStoreProbe {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ssprobe").toString
       val hits = new java.util.concurrent.atomic.AtomicLong(0)
       val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      // GRAFT_SS_DISTINCT=1: also accumulate DISTINCT (id, dup_of)
+      // pairs driver-side, so a bounded-TTL run's recall can be read
+      // against the batch-mode distinct-pair ceiling (the `hits`
+      // column is raw per-band emissions — a pair colliding in k of
+      // the 8 bands counts k times, the r16 probe convention).
+      val wantDistinct = sys.env.get("GRAFT_SS_DISTINCT").contains("1")
+      val distinct = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
       val docs = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1) // one micro-batch per part-file
         .parquet(staged)
@@ -101,7 +108,12 @@ object StreamStateStoreProbe {
         val q = stream.writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch { (b: org.apache.spark.sql.Dataset[NearDupHit], _: Long) =>
-            hits.addAndGet(b.count()); batches.incrementAndGet(); ()
+            if (wantDistinct) {
+              val rows = b.collect()
+              hits.addAndGet(rows.length.toLong)
+              rows.foreach(h => distinct.add((h.id, h.dup_of)))
+            } else hits.addAndGet(b.count())
+            batches.incrementAndGet(); ()
           }
           .outputMode("append").start()
         if (ttlMs > 0) {
@@ -113,7 +125,9 @@ object StreamStateStoreProbe {
         q.stop()
       }
       if (ttlMs > 0) spark.streams.removeListener(listener)
-      println(f"[ssprobe] $dir%-28s $provider%8s $nDocs%8d ${batches.get()}%8d $sec%8.2f ${hits.get()}%9d")
+      println(f"[ssprobe] $dir%-28s $provider%8s $nDocs%8d ${batches.get()}%8d $sec%8.2f ${hits.get()}%9d" +
+        (if (wantDistinct) s" distinct_pairs=${distinct.size}" else ""))
+      distinct.clear()
       Seq(staged, ckpt).foreach { d =>
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala.toSeq
