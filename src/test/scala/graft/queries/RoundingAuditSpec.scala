@@ -125,6 +125,21 @@ class RoundingAuditSpec extends AnyFunSuite {
         "while a 7-digit terminating decimal ending in 5 (a 6-dp " +
         "midpoint) requires 2^7 — provably no true midpoint exists",
       Seq(raw"\(60 \+ rank_", raw"round\(rrf, roundDigits\)")
+    ),
+    (
+      "driver-side-halfup-mirror",
+      "Rerank's MMR loop runs on collected k-row candidates and " +
+        "rounds intermediate cosines with the SAME BigDecimal-HALF_UP " +
+        "Spark's round() uses, so the driver-side path and a Column " +
+        "replay are rule-identical by construction; the operands are " +
+        "cosines (irrational-headroom for the oracle side)",
+      Seq(raw"setScale\(digits, BigDecimal\.RoundingMode\.HALF_UP\)")
+    ),
+    (
+      "non-graded-output",
+      "rounding for human/JSON display only — never compared to an " +
+        "oracle: Bench telemetry fields",
+      Seq(raw"def r4\(d: Double\) = math\.rint\(")
     )
   )
 
@@ -143,7 +158,11 @@ class RoundingAuditSpec extends AnyFunSuite {
       (line, i) <- java.nio.file.Files.readAllLines(f.toPath).toArray
         .map(_.toString).zipWithIndex
       t = line.trim
-      if t.contains("round(") &&
+      // round( is the Column/SQL idiom; setScale/rint are the other
+      // two rounding idioms in the tree (driver-side BigDecimal,
+      // display formatting) — a site must not escape the audit by
+      // switching idiom
+      if (t.contains("round(") || t.contains("setScale(") || t.contains("math.rint(")) &&
         !t.startsWith("//") && !t.startsWith("*") && !t.startsWith("/*") &&
         !t.startsWith("--")
     } yield (s"${f.getPath}:${i + 1}", t)
