@@ -72,7 +72,13 @@ object QueryCatalog {
     "q_simhash", "q_simhash_fast", "q_scrub_spans",
     "q_pipeline_e2e", "q_search_facade", "q_pack_sequences",
     "q_embed_neardup", "q_embed_neardup_banded", "q_prefix_jaccard",
-    "q_stream_neardup")
+    "q_stream_neardup",
+    // r17: the recursive-CTE chunk replays exhausted DuckDB's cap on
+    // the realistic sf100r fixture (non-spillable recursion carrying
+    // full per-doc chunk lists over mostly-unique text) — see the
+    // qChunkRecursiveSql scaladoc; full-corpus chunking at scale stays
+    // graded via q_chunk_fixed / q_chunk_meta
+    "q_chunk_recursive", "q_chunk_semantic")
 
   /** Cap/fixture routing for COMPOSED oracles rewrites every
     * base-table read of `documents`; a component SQL that writes the
@@ -829,7 +835,8 @@ object QueryCatalog {
   val qChunkRecursive: Q = (s, dir) =>
     Chunker
       .explodeChunks(
-        rebalanced(tbl(s, dir, "documents")).select(col("doc_id"), col("source"), col("text")),
+        rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap))
+          .select(col("doc_id"), col("source"), col("text")),
         "text",
         "source",
         ChunkerConfig.default
@@ -917,11 +924,26 @@ object QueryCatalog {
     chunkCtes + raw"""
           SELECT $finalSelect FROM enriched ORDER BY doc_id, chunk_index"""
 
-  val qChunkRecursiveSql: String =
-    chunkOracle("doc_id, source, chunk_index, total_chunks, text, chunk_size_chars, chunk_size_tokens, chunk_id")
+  /** The two recursive-replay rows grade the replica-0 slice (r17):
+    * DuckDB's recursive CTEs are non-spillable, and the mstate CTE
+    * carries each doc's full chunk LIST per recursion step — on the
+    * REALISTIC sf100r fixture (mostly-unique salted text, so no shared
+    * string dictionary) both oracles exhausted a ~107 GB cap
+    * (records/sweep_sf100r_r17.log), while the maximal sf100 fixture
+    * passed in r13/r14 only because its text universe is tiny. Same
+    * re-scope as q_pipeline_e2e (r14e): no-op at the driver sfs (cap >
+    * max driver doc_id — the gate still compares the FULL corpus),
+    * fixed-density slice at the ScaleUp decades. Full-corpus chunker
+    * execution at scale stays covered by q_chunk_fixed / q_chunk_meta
+    * (non-recursive oracles, PASS at sf100r with 20.2M rows).
+    */
+  val qChunkRecursiveSql: String = rerouteDocReads(
+    chunkOracle("doc_id, source, chunk_index, total_chunks, text, chunk_size_chars, chunk_size_tokens, chunk_id"),
+    s"FROM (SELECT * FROM documents WHERE doc_id < $Replica0Cap)")
 
-  val qChunkSemanticSql: String =
-    chunkOracle("doc_id, chunk_index, total_chunks, text, chunk_id")
+  val qChunkSemanticSql: String = rerouteDocReads(
+    chunkOracle("doc_id, chunk_index, total_chunks, text, chunk_id"),
+    s"FROM (SELECT * FROM documents WHERE doc_id < $Replica0Cap)")
 
   /** K1 semantic-first hybrid chunking (sentence embeddings +
     * percentile-70 breakpoints, then K2/K3 size optimization).
@@ -936,7 +958,8 @@ object QueryCatalog {
     val semantic = new graft.chunk.SemanticSplitter(new HashEmbedder(dim = 64))
     Chunker
       .explodeChunks(
-        rebalanced(tbl(s, dir, "documents")).select(col("doc_id"), col("source"), col("text")),
+        rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap))
+          .select(col("doc_id"), col("source"), col("text")),
         "text",
         "source",
         ChunkerConfig.default.copy(chunkingMode = "semantic_first"),

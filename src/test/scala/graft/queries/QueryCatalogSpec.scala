@@ -154,7 +154,8 @@ class QueryCatalogSpec extends SparkTestBase {
     // there is the same filter-before-rebalance pattern, certified by
     // their oracles' row counts instead
     for (name <- Seq("q_scrub_spans", "q_simhash", "q_simhash_fast",
-      "q_ngram_jaccard", "q_minhash_lsh", "q_pipeline_e2e")) {
+      "q_ngram_jaccard", "q_minhash_lsh", "q_pipeline_e2e",
+      "q_chunk_recursive", "q_chunk_semantic")) {
       val plan = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
       assert(plan.contains(s"LessThan(doc_id,${QueryCatalog.Replica0Cap})"),
         s"$name must push the replica-0 cap to the scan (PushedFilters):\n$plan")
