@@ -78,7 +78,13 @@ object QueryCatalog {
     // full per-doc chunk lists over mostly-unique text) — see the
     // qChunkRecursiveSql scaladoc; full-corpus chunking at scale stays
     // graded via q_chunk_fixed / q_chunk_meta
-    "q_chunk_recursive", "q_chunk_semantic")
+    "q_chunk_recursive", "q_chunk_semantic",
+    // r17: the repetition replay's per-doc count-map state is
+    // non-spillable and exhausted BOTH the memory cap (q_repetition:
+    // "Failed to allocate block") and the spill budget (q_gopher_full:
+    // "failed to offload") at sf100r realistic — see the qRepetition
+    // scaladoc; boundary docs ride the gopher union uncapped
+    "q_repetition", "q_gopher_full")
 
   /** Cap/fixture routing for COMPOSED oracles rewrites every
     * base-table read of `documents`; a component SQL that writes the
@@ -1774,8 +1780,23 @@ object QueryCatalog {
     * DuckDB oracle rebuilds all five measures from scratch (line
     * grouping + n-gram grouping per doc) and must agree bit-for-bit.
     */
+  /** Graded on the replica-0 slice since r17: the oracle rebuilds
+    * per-doc line and 2/3/5-gram COUNT MAPS from scratch, and that
+    * aggregation state is non-spillable in DuckDB — on the realistic
+    * sf100r fixture (5M docs of mostly-unique salted tokens, so no
+    * shared-string dictionary) it exhausted the ~100 GB memory cap
+    * outright ("Failed to allocate block", records/sweep_sf100r_r17.log),
+    * and q_gopher_full (which embeds this SQL) exhausted the spill
+    * budget the same way. No-op at the driver sfs (cap > max driver
+    * doc_id — the gate compares the FULL corpus), and the row keeps
+    * its FULL-corpus decade verdicts where the oracle fit: sf10r
+    * realistic (500k docs, r16 — the sweep that caught the midpoint
+    * bug) and sf100 maximal (5M docs, r14d). The engine side completes
+    * the full corpus at every decade (it is a narrow per-doc map —
+    * q_line_dedup PASSes full-corpus at sf100r over the same text).
+    */
   val qRepetition: Q = (s, dir) =>
-    rebalanced(tbl(s, dir, "documents"))
+    rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap))
       .select(col("doc_id"), graft.text.RepetitionStats.repetitionFeatures(col("text")).as("f"))
       .select(
         col("doc_id"),
@@ -1866,6 +1887,16 @@ object QueryCatalog {
                  top2gram_char_frac, top3gram_char_frac, dup5gram_char_frac,
                  (dup_line_frac <= 0.3 AND top2gram_char_frac <= 0.2 AND dup5gram_char_frac <= 0.15) AS keep
           FROM r6 ORDER BY doc_id"""
+
+  /** The GRADED q_repetition oracle: [[qRepetitionSql]] on the
+    * replica-0 slice (see the [[qRepetition]] scaladoc for why).
+    * [[qRepetitionSql]] itself stays uncapped because
+    * [[qGopherFullSql]] embeds it and reroutes its reads to the
+    * boundary-unioned gdocs CTE — the gopher row's cap lives on the
+    * documents leg INSIDE gdocs instead.
+    */
+  val qRepetitionGradedSql: String = rerouteDocReads(
+    qRepetitionSql, s"FROM (SELECT * FROM documents WHERE doc_id < $Replica0Cap)")
 
   /** PII noise appended to every doc so the scrubber has real work in
     * both engines: email, international + domestic phone shapes, IPv4,
@@ -4562,7 +4593,14 @@ object QueryCatalog {
     */
   val qGopherFull: Q = (s, dir) => {
     import s.implicits._
-    val base = rebalanced(tbl(s, dir, "documents")).select(col("doc_id"), col("text"))
+    // replica-0 slice since r17 (same decision + evidence as
+    // [[qRepetition]], whose SQL this oracle embeds: the repetition
+    // replay's count-map state exhausted DuckDB's memory AND spill
+    // budgets at sf100r realistic). The boundary fixture (negative
+    // doc_ids) rides the union unconditionally, so every threshold
+    // stays graded exactly AT its published value at every decade.
+    val base = rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap))
+      .select(col("doc_id"), col("text"))
     val fixture = gopherBoundaryDocs.toDF("doc_id", "text")
     graft.quality.GopherRules
       .withGopherKeep(base.unionByName(fixture), "text")
@@ -4603,6 +4641,7 @@ object QueryCatalog {
         ORDER BY s.doc_id"""
     s"""WITH gdocs AS (
           SELECT doc_id, text FROM documents
+          WHERE doc_id < $Replica0Cap
           UNION ALL
           SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES
               $values) t(doc_id, text))
@@ -4772,7 +4811,7 @@ object QueryCatalog {
     "q_simhash_fast" -> qSimHashFastSql,
     "q_langid_ngram" -> qLangIdNgramSql,
     "q_pii_scrub" -> qPiiScrubSql,
-    "q_repetition" -> qRepetitionSql,
+    "q_repetition" -> qRepetitionGradedSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_decontaminate_bloom" -> qDecontaminateBloomSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
