@@ -84,7 +84,11 @@ object QueryCatalog {
     // "Failed to allocate block") and the spill budget (q_gopher_full:
     // "failed to offload") at sf100r realistic — see the qRepetition
     // scaladoc; boundary docs ride the gopher union uncapped
-    "q_repetition", "q_gopher_full")
+    "q_repetition", "q_gopher_full",
+    // r17: one hashed row per 512 payload bytes + per-doc list()
+    // vector rebuild — non-spillable, OOM'd at sf100r realistic (see
+    // the qMediaFeatures scaladoc)
+    "q_media_features")
 
   /** Cap/fixture routing for COMPOSED oracles rewrites every
     * base-table read of `documents`; a component SQL that writes the
@@ -2512,7 +2516,14 @@ object QueryCatalog {
     */
   val qMediaFeatures: Q = (s, dir) => {
     import graft.multimodal.Multimodal
-    val docs = rebalanced(tbl(s, dir, "documents"))
+    // replica-0 slice since r17: the oracle unnests one hashed row per
+    // 512 payload bytes and rebuilds each doc's 32-dim vector via list()
+    // aggregation — non-spillable in DuckDB, exhausted the ~100 GB cap
+    // at sf100r realistic (records/sweep_sf100r_r17.log). No-op at the
+    // driver sfs; full-corpus media decode at scale stays graded by
+    // q_image/audio/video_features (arithmetic oracles, PASS at sf100r
+    // with 5M rows each).
+    val docs = rebalanced(tbl(s, dir, "documents").filter(col("doc_id") < Replica0Cap))
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     val withMeta = Multimodal.withMediaMeta(docs, "payload", "text-as-binary")
     val featured = Multimodal.withMediaFeatures(withMeta, "payload", dim = 32)
@@ -2525,7 +2536,7 @@ object QueryCatalog {
     )
   }
 
-  val qMediaFeaturesSql: String =
+  val qMediaFeaturesSql: String = rerouteDocReads(
     raw"""WITH b AS (
             SELECT doc_id, text, length(text) AS n,
                    greatest(1, length(text) // 512) AS step
@@ -2557,7 +2568,8 @@ object QueryCatalog {
                  md5(array_to_string(list_transform(v.enc, x -> CAST(x AS VARCHAR)), ',')) AS features_md5,
                  CAST(list_sum(v.enc) AS BIGINT) AS features_isum
           FROM documents d JOIN vecs v USING (doc_id)
-          ORDER BY d.doc_id"""
+          ORDER BY d.doc_id""",
+    s"FROM (SELECT * FROM documents WHERE doc_id < $Replica0Cap)")
 
   /** REAL image decode (VERDICT r3 #4): render a deterministic gradient
     * PNG per document (ImageCodec.encodePng — genuine PNG containers),

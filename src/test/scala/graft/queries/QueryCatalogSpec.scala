@@ -156,7 +156,7 @@ class QueryCatalogSpec extends SparkTestBase {
     for (name <- Seq("q_scrub_spans", "q_simhash", "q_simhash_fast",
       "q_ngram_jaccard", "q_minhash_lsh", "q_pipeline_e2e",
       "q_chunk_recursive", "q_chunk_semantic",
-      "q_repetition", "q_gopher_full")) {
+      "q_repetition", "q_gopher_full", "q_media_features")) {
       val plan = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
       assert(plan.contains(s"LessThan(doc_id,${QueryCatalog.Replica0Cap})"),
         s"$name must push the replica-0 cap to the scan (PushedFilters):\n$plan")
