@@ -21,6 +21,14 @@ object QualityMonitor {
     * (dyadic-exact — its 10⁴ scaling is exactly representable, so both
     * engines see the true value and agree); the stds stay round():
     * irrational operands never SIT on a decimal midpoint.
+    *
+    * INPUT INVARIANT (ADVICE r17): `charsCol`/`tokensCol` must be
+    * NON-NULL. The exact-integer averages divide by count(*), which —
+    * unlike avg() — counts NULL rows in the denominator (and sum()
+    * over an all-NULL column yields a NULL numerator). Both columns
+    * are derived from length(text) everywhere this is called, so the
+    * invariant holds by construction; a nullable caller must
+    * na.drop() first or the mean silently drifts from the reference's.
     */
   def sizeDistribution(df: DataFrame, charsCol: String, tokensCol: String): DataFrame =
     df.agg(

@@ -59,7 +59,12 @@ object RepetitionStats {
     */
   private[text] def ratio6(numer: Long, denom: Long): Double =
     if (denom == 0L) 0.0
-    else if (numer <= (Long.MaxValue - denom) / 2000000L)
+    // Both fast-path products must fit: the numerator leg
+    // 2·numer·10⁶ + denom AND the divisor 2·denom — a huge denom with
+    // a small numer passes the first bound alone while 2L·denom wraps
+    // (ADVICE r17). Unreachable for real corpora (denom ≲ chars²),
+    // guarded anyway: the contract is "never grade WRONG silently".
+    else if (denom <= Long.MaxValue / 2 && numer <= (Long.MaxValue - denom) / 2000000L)
       ((2L * numer * 1000000L + denom) / (2L * denom)).toDouble / 1e6
     else
       ((BigInt(2) * numer * 1000000 + denom) / (BigInt(2) * denom)).toDouble / 1e6

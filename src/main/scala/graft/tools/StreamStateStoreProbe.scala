@@ -134,6 +134,14 @@ object StreamStateStoreProbe {
           .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
+    // Unload every state-store provider SYNCHRONOUSLY before JVM exit:
+    // q.stop()/spark.stop() leave loaded RocksDB instances to lazy
+    // teardown, and the r17 probe's last RocksDB run segfaulted when a
+    // native background-compaction thread invoked the JNI logger
+    // (rocksdb::LoggerJniCallback::Logv) mid-shutdown. StateStore.stop()
+    // closes the providers (joining native background work) while the
+    // JVM is still fully alive, removing the race window.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()
   }
 }

@@ -31,8 +31,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RoundingAuditSpec extends AnyFunSuite {
 
-  /** (bucket name, why it is safe, line patterns). */
-  private val buckets: Seq[(String, String, Seq[String])] = Seq(
+  /** (bucket name, why it is safe, (line pattern, expected site count)).
+    *
+    * The counts are EXACT pins (ADVICE r17): several patterns are
+    * broad substrings (`* 100)`, `stddev_pop`, `cosineSimilarity`),
+    * so without a pin a future UNSAFE site that merely co-occurs on a
+    * line with a safe idiom would be silently classified. With the
+    * pin, any new line a pattern matches — safe or not — fails the
+    * spec until a human re-counts it into the bucket; a count of zero
+    * is the staleness failure (pattern outlived its site).
+    */
+  private val buckets: Seq[(String, String, Seq[(String, Int)])] = Seq(
     (
       "scale-to-integer",
       "rounding identical doubles to an INTEGER is rule-independent: " +
@@ -43,13 +52,13 @@ class RoundingAuditSpec extends AnyFunSuite {
         "quantizations, the cent-percentile interpolation, and the " +
         "per-term revenue scaling",
       Seq(
-        raw"\* 100\)",            // round(<money> * 100) → cents
-        raw"\* lit\(100\)\)",     // the Column form of the same
-        raw"\* 10000\)",          // quantizations to 1e-4 units
-        raw"\* 10000, 0\)",
-        raw"\* lit\(10000\)\)",   // the Column form (q3 revenue terms)
-        raw"math\.round\(",       // driver-side integer rounding
-        raw"round\(quantile_cont\(CAST\(round\(" // integer cents percentile
+        raw"\* 100\)" -> 6,            // round(<money> * 100) → cents
+        raw"\* lit\(100\)\)" -> 1,     // the Column form of the same
+        raw"\* 10000\)" -> 5,          // quantizations to 1e-4 units
+        raw"\* 10000, 0\)" -> 2,
+        raw"\* lit\(10000\)\)" -> 1,   // the Column form (q3 revenue terms)
+        raw"math\.round\(" -> 2,       // driver-side integer rounding
+        raw"round\(quantile_cont\(CAST\(round\(" -> 2 // integer cents percentile
       )
     ),
     (
@@ -61,13 +70,13 @@ class RoundingAuditSpec extends AnyFunSuite {
         "at graded group sizes — corpus-scale totals use " +
         "scale-to-integer instead (q1Agg's documented idiom)",
       Seq(
-        raw"round\(sum\(col\(.value.\)\), 2\)",
-        raw"round\(sum\(value\), 2\)",
-        raw"round\(sum\(col\(.s_acctbal.\)\), 2\)",
-        raw"round\(sum\(s_acctbal\), 2\)",
-        raw"round\(col\(.o_totalprice.\), 2\)",
-        raw"round\(o_totalprice, 2\)",
-        raw"round\(col\(.sum_value.\), 2\)"
+        raw"round\(sum\(col\(.value.\)\), 2\)" -> 2,
+        raw"round\(sum\(value\), 2\)" -> 3,
+        raw"round\(sum\(col\(.s_acctbal.\)\), 2\)" -> 1,
+        raw"round\(sum\(s_acctbal\), 2\)" -> 1,
+        raw"round\(col\(.o_totalprice.\), 2\)" -> 1,
+        raw"round\(o_totalprice, 2\)" -> 1,
+        raw"round\(col\(.sum_value.\), 2\)" -> 1
       )
     ),
     (
@@ -78,9 +87,9 @@ class RoundingAuditSpec extends AnyFunSuite {
         "half-away on positives: minhash agreement fractions (k/32), " +
         "medians of integer columns (k or k.5)",
       Seq(
-        raw"round\(col\(.est_jaccard.\), 4\)",
-        raw"round\(median\((chars|tokens)\), 4\)",
-        raw"round\(expr\(s.percentile\(."
+        raw"round\(col\(.est_jaccard.\), 4\)" -> 1,
+        raw"round\(median\((chars|tokens)\), 4\)" -> 2,
+        raw"round\(expr\(s.percentile\(." -> 2
       )
     ),
     (
@@ -95,27 +104,27 @@ class RoundingAuditSpec extends AnyFunSuite {
         "such row is fixture-verified across four decades — the " +
         "round(9) vector-mean precedent documented in r13",
       Seq(
-        raw"cosineSimilarity",
-        raw"list_dot_product",
-        raw"round\(dot_product",
-        raw"stddev_pop",
-        raw"coefficientOfVariation",
-        raw"round\(avg\(-ln",             // LM bits-per-token
-        raw"round\(avg\(col\(.bits.\)\), 6\)",
-        raw"round\(avg\(CAST\(embedding", // 9-dp vector means
-        raw"round\(avg\(v\[1\], 9\)|round\(avg\(v\[1\]\), 9\)",
-        raw"round\(avg\(cos\), 9\)",
-        raw"round\(col\(.__mc.\), 9\)",
-        raw"round\(element_at\(col\(.(__)?m.\), \d+\), 9\)",
-        raw"round\(mmr, 6\)",
-        raw"round\(s, [46]\)",            // BM25 / hybrid keyword scores
-        raw"round\(raw, 4\)",
-        raw"round\(cos, 4\)",
-        raw"round\(col\(.score.\), 4\)",
-        raw"round\(col\(.cosine.\), 4\)",
-        raw"round\(score, roundDigits\)",
-        raw"round\(rawScore, dp\)",
-        raw"round\(col\(.score.\), dp\)"
+        raw"cosineSimilarity" -> 17,
+        raw"list_dot_product" -> 13,
+        raw"round\(dot_product" -> 1,
+        raw"stddev_pop" -> 5,
+        raw"coefficientOfVariation" -> 1,
+        raw"round\(avg\(-ln" -> 2,             // LM bits-per-token
+        raw"round\(avg\(col\(.bits.\)\), 6\)" -> 2,
+        raw"round\(avg\(CAST\(embedding" -> 2, // 9-dp vector means
+        raw"round\(avg\(v\[1\], 9\)|round\(avg\(v\[1\]\), 9\)" -> 1,
+        raw"round\(avg\(cos\), 9\)" -> 1,
+        raw"round\(col\(.__mc.\), 9\)" -> 1,
+        raw"round\(element_at\(col\(.(__)?m.\), \d+\), 9\)" -> 4,
+        raw"round\(mmr, 6\)" -> 1,
+        raw"round\(s, [46]\)" -> 4,            // BM25 / hybrid keyword scores
+        raw"round\(raw, 4\)" -> 1,
+        raw"round\(cos, 4\)" -> 1,
+        raw"round\(col\(.score.\), 4\)" -> 2,
+        raw"round\(col\(.cosine.\), 4\)" -> 2,
+        raw"round\(score, roundDigits\)" -> 1,
+        raw"round\(rawScore, dp\)" -> 1,
+        raw"round\(col\(.score.\), dp\)" -> 2
       )
     ),
     (
@@ -124,7 +133,7 @@ class RoundingAuditSpec extends AnyFunSuite {
         "lcm of values in [61,80] whose 2-adic power is at most 2^6, " +
         "while a 7-digit terminating decimal ending in 5 (a 6-dp " +
         "midpoint) requires 2^7 — provably no true midpoint exists",
-      Seq(raw"\(60 \+ rank_", raw"round\(rrf, roundDigits\)")
+      Seq(raw"\(60 \+ rank_" -> 1, raw"round\(rrf, roundDigits\)" -> 1)
     ),
     (
       "driver-side-halfup-mirror",
@@ -133,13 +142,13 @@ class RoundingAuditSpec extends AnyFunSuite {
         "Spark's round() uses, so the driver-side path and a Column " +
         "replay are rule-identical by construction; the operands are " +
         "cosines (irrational-headroom for the oracle side)",
-      Seq(raw"setScale\(digits, BigDecimal\.RoundingMode\.HALF_UP\)")
+      Seq(raw"setScale\(digits, BigDecimal\.RoundingMode\.HALF_UP\)" -> 1)
     ),
     (
       "non-graded-output",
       "rounding for human/JSON display only — never compared to an " +
         "oracle: Bench telemetry fields",
-      Seq(raw"def r4\(d: Double\) = math\.rint\(")
+      Seq(raw"def r4\(d: Double\) = math\.rint\(" -> 1)
     )
   )
 
@@ -169,9 +178,11 @@ class RoundingAuditSpec extends AnyFunSuite {
 
     assert(sites.nonEmpty, "the scan found no rounding sites — scan broke, not the code")
 
-    val compiled = buckets.map { case (name, why, ps) => (name, why, ps.map(_.r)) }
+    val compiled = buckets.map { case (name, why, ps) =>
+      (name, why, ps.map { case (p, n) => (p, p.r, n) })
+    }
     val unclassified = sites.filterNot { case (_, t) =>
-      compiled.exists(_._3.exists(_.findFirstIn(t).isDefined))
+      compiled.exists(_._3.exists(_._2.findFirstIn(t).isDefined))
     }
     assert(
       unclassified.isEmpty,
@@ -181,18 +192,25 @@ class RoundingAuditSpec extends AnyFunSuite {
         unclassified.map { case (at, t) => s"  $at  $t" }.mkString("\n")
     )
 
-    // staleness: a bucket pattern matching nothing is a leftover from
-    // a removed site and must be deleted with it
-    val stale = for {
-      (name, _, ps) <- buckets
-      p <- ps
-      if !sites.exists { case (_, t) => p.r.findFirstIn(t).isDefined }
-    } yield s"$name: $p"
-    assert(stale.isEmpty, s"stale bucket patterns (no matching site):\n  ${stale.mkString("\n  ")}")
+    // exact-count pin (ADVICE r17): a pattern matching MORE sites than
+    // pinned means a new line co-matched a broad substring and was
+    // silently classified — the new site must be reviewed and the pin
+    // consciously bumped; matching FEWER (incl. zero) means the pattern
+    // outlived its site and must be re-pinned or deleted with it
+    val drifted = for {
+      (name, _, ps) <- compiled
+      (p, r, expected) <- ps
+      actual = sites.count { case (_, t) => r.findFirstIn(t).isDefined }
+      if actual != expected
+    } yield s"$name: $p expected $expected sites, found $actual"
+    assert(
+      drifted.isEmpty,
+      s"bucket pattern counts drifted — review the changed lines, then " +
+        s"re-pin:\n  ${drifted.mkString("\n  ")}")
 
     info(s"${sites.size} rounding sites across ${mainSources().size} files, all classified:")
     compiled.foreach { case (name, _, ps) =>
-      val n = sites.count { case (_, t) => ps.exists(_.findFirstIn(t).isDefined) }
+      val n = sites.count { case (_, t) => ps.exists(_._2.findFirstIn(t).isDefined) }
       info(f"  $name%-24s $n%3d sites")
     }
   }

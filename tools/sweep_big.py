@@ -60,13 +60,14 @@ def host_pressure():
     return load1, avail_gb
 
 
-def preflight(tag):
+def preflight(tag, fatal=True):
     # Load-only pressure is usually OUR OWN just-finished local[32]
     # spark phase decaying out of load_1m (a 16-batch sf10 sweep killed
     # itself twice on its own tail in r16) — wait for the decay before
-    # concluding a neighbor holds the box. Memory pressure never
-    # self-inflicts between batches (the JVM exited), so it aborts
-    # immediately as before.
+    # concluding a neighbor holds the box. Memory pressure between
+    # batches never self-inflicts (the JVM exited) and aborts after a
+    # short grace (page-cache reclaim after a big spark phase can lag
+    # a few seconds behind the exit).
     deadline = time.time() + 300
     while True:
         load1, avail_gb = host_pressure()
@@ -75,12 +76,14 @@ def preflight(tag):
               f"mem_avail={avail_gb:.0f}GB (min {AVAIL_MIN_GB:.0f}) -> "
               f"{'ok' if ok else 'CONTENDED'}", flush=True)
         if ok or os.environ.get("GRAFT_SWEEP_FORCE") == "1":
-            return
-        if avail_gb < AVAIL_MIN_GB or time.time() > deadline:
+            return True
+        if time.time() > deadline:
             break
-        print("[sweep] load-only contention — waiting 30s for our own "
-              "spark phase to decay out of load_1m", flush=True)
+        print("[sweep] contention — waiting 30s (load: our own spark "
+              "tail decaying; mem: reclaim lag or a neighbor)", flush=True)
         time.sleep(30)
+    if not fatal:
+        return False
     print("[sweep] refusing to start under contention — a starved "
           "oracle records a false FAIL/TIMEOUT (r14 q_gopher_full, "
           "twice). Idle the box or set GRAFT_SWEEP_FORCE=1.",
@@ -149,6 +152,24 @@ def main():
             if "[verify]" in line:
                 print(f"[sweep] {line.strip()}", flush=True)
         skip = ",".join([n for n in names if n not in batch])
+        # Gate the ORACLE launch on its own preflight (VERDICT r17 #5):
+        # check_oracles sizes DuckDB's memory cap ONCE at start from
+        # MemAvailable, so launching it while a neighbor (or our own
+        # just-exited spark phase's page cache churn) squeezes memory
+        # bakes in a tiny cap and turns a green row into a spurious
+        # OOM FAIL (q_bigram_logprob's first sf100r attempt: 37.2 GiB
+        # cap under contention, full pass on a clean run). The batch
+        # preflight above can't see pressure that arrived during the
+        # spark phase. Bounded wait + LOUD SKIP as fallback (never a
+        # mid-sweep abort): skipped rows get no verdict, are reported
+        # as NO-VERDICT/NO RESULT below, and fail the exit code.
+        if not preflight(f"oracle{i // batch_n + 1}", fatal=False):
+            print(f"[sweep] SKIPPING oracle phase for batch {batch} — "
+                  f"still contended after bounded wait; rows stay "
+                  f"unverified (re-run them)", flush=True)
+            for n in batch:
+                shutil.rmtree(f"{work}/{n}", ignore_errors=True)
+            continue
         t1 = time.time()
         c = sh(["python3", f"{REPO}/tools/check_oracles.py", work, sf_dir,
                 skip, str(timeout)])
