@@ -249,4 +249,86 @@ class StreamingNearDupSpec extends SparkTestBase {
       assert(!hits.contains((9L, 1L)), s"evicted resident still matched: $hits")
     } finally q.stop()
   }
+
+  test("TTL recall property: hits are EXACTLY the pairs whose consecutive " +
+      "bucket-arrival gaps all stay <= TTL (deterministic TestGroupState replay)") {
+    // Pins the r17 state-store probe's recall-trade claim as a property
+    // (VERDICT r17 #6) instead of a probe-recorded number: under a TTL,
+    // the misses are exactly the duplicates farther apart in replay
+    // time than the TTL. Driven through the factored-out per-bucket
+    // state transition with Spark's own TestGroupState, so expiry is
+    // simulated deterministically — no trigger clocks, no listeners.
+    //
+    // Expiry model (Spark's documented ProcessingTimeTimeout
+    // semantics): a bucket's state is swept by the first batch that
+    // RUNS after lastArrival + TTL in which the bucket receives no
+    // data. This replay models the dense-trigger regime (the probe ran
+    // a 100 ms trigger against a 60 s TTL): a sweep batch always runs
+    // between an expired deadline and the next arrival, so a resident
+    // survives until arrival j iff EVERY consecutive-arrival gap on
+    // the way is <= TTL — whole-bucket expiry means one oversized gap
+    // severs every earlier resident at once.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttlMs = 1000L
+    val sig = Array.tabulate(32)(_.toLong) // identical sigs: est = 1.0, always a hit
+    def bucketState(ts: TestGroupState[BucketState]): Option[BucketState] =
+      if (ts.isRemoved || !ts.exists) None else Some(ts.get)
+    // one arrival per batch; gaps: 400, 1500(expires), 300, 1000(= TTL,
+    // survives), 1001(expires), 200
+    val arrivals: Seq[(Long, Long)] =
+      Seq((1L, 0L), (2L, 400L), (3L, 1900L), (4L, 2200L), (5L, 3200L), (6L, 4201L), (7L, 4401L))
+    var state: Option[BucketState] = None
+    var lastT = 0L
+    val emitted = Set.newBuilder[(Long, Long)]
+    arrivals.foreach { case (id, t) =>
+      if (state.nonEmpty && t - lastT > ttlMs) {
+        // the sweep batch: bucket has no data, deadline passed
+        val sweep = TestGroupState.create[BucketState](
+          Optional.of(state.get), GroupStateTimeout.ProcessingTimeTimeout(),
+          t, Optional.empty[Long](), hasTimedOut = true)
+        val out = StreamingNearDup.processBucket(Iterator.empty, sweep, 0.8, 64, ttlMs)
+        assert(out.isEmpty && sweep.isRemoved, "sweep must remove state and emit nothing")
+        state = None
+      }
+      val gs = TestGroupState.create[BucketState](
+        state.fold(Optional.empty[BucketState]())(Optional.of),
+        GroupStateTimeout.ProcessingTimeTimeout(), t, Optional.empty[Long](),
+        hasTimedOut = false)
+      val hits = StreamingNearDup.processBucket(
+        Iterator(BandObs(0, 0L, id, sig)), gs, 0.8, 64, ttlMs).toList
+      assert(hits.forall(_.est_jaccard == 1.0))
+      emitted ++= hits.map(h => (h.id, h.dup_of))
+      state = bucketState(gs)
+      lastT = t
+    }
+    val expected = (for {
+      j <- arrivals.indices
+      i <- 0 until j
+      if (i + 1 to j).forall(k => arrivals(k)._2 - arrivals(k - 1)._2 <= ttlMs)
+    } yield (arrivals(j)._1, arrivals(i)._1)).toSet
+    // the concrete sets, so a silent expected-side bug can't vacuously pass:
+    // {2,1} before the first expiry; {4,3},{5,4},{5,3} across the =TTL gap;
+    // {7,6} after the second expiry
+    assert(expected == Set((2L, 1L), (4L, 3L), (5L, 4L), (5L, 3L), (7L, 6L)))
+    assert(emitted.result() == expected,
+      s"TTL recall drifted: emitted=${emitted.result()} expected=$expected")
+
+    // The converse half of the wall-clock dependence the probe
+    // recorded (hdfs/rocksdb hit-count deltas at sf100r): expiry only
+    // happens when a batch actually runs past the deadline, so WITHOUT
+    // an intervening sweep batch a stale resident still matches across
+    // a > TTL gap — TTL recall is a LOWER bound on delivered recall.
+    val first = TestGroupState.create[BucketState](
+      Optional.empty[BucketState](), GroupStateTimeout.ProcessingTimeTimeout(),
+      0L, Optional.empty[Long](), hasTimedOut = false)
+    StreamingNearDup.processBucket(Iterator(BandObs(0, 0L, 1L, sig)), first, 0.8, 64, ttlMs)
+    val late = TestGroupState.create[BucketState](
+      Optional.of(first.get), GroupStateTimeout.ProcessingTimeTimeout(),
+      10 * ttlMs, Optional.empty[Long](), hasTimedOut = false)
+    val staleHits = StreamingNearDup.processBucket(
+      Iterator(BandObs(0, 0L, 2L, sig)), late, 0.8, 64, ttlMs).toList
+    assert(staleHits.map(h => (h.id, h.dup_of)) == List((2L, 1L)),
+      "a never-swept resident must still match (expiry needs a batch to run)")
+  }
 }
