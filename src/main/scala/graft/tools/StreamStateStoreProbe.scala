@@ -56,7 +56,7 @@ object StreamStateStoreProbe {
     println(s"[ssprobe] config provider=$provider ttl_ms=$ttlMs max_per_bucket=$maxPb")
     println(f"[ssprobe] ${"dir"}%-28s ${"provider"}%8s ${"docs"}%8s ${"batches"}%8s ${"sec"}%8s ${"hits"}%9s")
     val nParts = sys.env.getOrElse("GRAFT_SS_BATCHES", "16").toInt
-    dirs.foreach { dir =>
+    try dirs.foreach { dir =>
       val path = s"$dir/documents.parquet"
       // Stage (doc_id, text) into a temp dir with a FIXED part-file
       // count: the file source triggers one micro-batch per file, so
@@ -133,15 +133,22 @@ object StreamStateStoreProbe {
         java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala.toSeq
           .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
+    } finally {
+      // Unload every state-store provider SYNCHRONOUSLY before JVM
+      // exit, on EVERY exit path: q.stop()/spark.stop() leave loaded
+      // RocksDB instances to lazy teardown, and the r17 probe's last
+      // RocksDB run segfaulted when a native background-compaction
+      // thread invoked the JNI logger
+      // (rocksdb::LoggerJniCallback::Logv) mid-shutdown.
+      // StateStore.stop() closes the providers (joining native
+      // background work) while the JVM is still fully alive, removing
+      // the race window. In a finally so a mid-replay failure — e.g.
+      // the ENOSPC this probe hit in r16 — exits with ITS OWN
+      // stack trace instead of racing teardown and burying the real
+      // diagnosis under an hs_err crash dump (ADVICE-class catch, r18
+      // self-review).
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      spark.stop()
     }
-    // Unload every state-store provider SYNCHRONOUSLY before JVM exit:
-    // q.stop()/spark.stop() leave loaded RocksDB instances to lazy
-    // teardown, and the r17 probe's last RocksDB run segfaulted when a
-    // native background-compaction thread invoked the JNI logger
-    // (rocksdb::LoggerJniCallback::Logv) mid-shutdown. StateStore.stop()
-    // closes the providers (joining native background work) while the
-    // JVM is still fully alive, removing the race window.
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    spark.stop()
   }
 }
