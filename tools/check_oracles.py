@@ -176,7 +176,13 @@ def run_one_with_timeout(out_dir, sf_dir, name, sql, timeout_sec):
         print(f"TIMEOUT {name} (> {timeout_sec}s in DuckDB)")
         return None
     try:
-        return q.get_nowait()
+        # bounded get, NOT get_nowait: join() returning only proves the
+        # child exited — the parent's queue feeder can lag the pipe by
+        # a beat, and get_nowait there turns a completed PASS into a
+        # spurious "worker died" FAIL (r18 self-review). 10s is far
+        # beyond any feeder lag; a truly dead worker (OOM-kill) still
+        # lands in the except arm.
+        return q.get(timeout=10)
     except Exception:
         print(f"FAIL {name}: oracle worker died without a result")
         return False
