@@ -57,6 +57,17 @@ object QueryCatalog {
     */
   val Replica0CapSmall: Long = 2000L
 
+  /** The smallest slice, for the one row whose oracle is exhaustive
+    * all-pairs over SETS of tokens (q_prefix_jaccard's capped
+    * exact-verify reference — list_distinct + list intersections per
+    * pair in DuckDB). Named so the cap-set audit (CapAuditSpec) can
+    * recognize every graded-slice cap syntactically; a bare numeric
+    * literal in a filter would be indistinguishable from a semantic
+    * id predicate. No-op at the sf0.001 smoke corpus only; the
+    * sf0.01+ gates grade the capped slice on BOTH engines.
+    */
+  val Replica0CapTiny: Long = 500L
+
   /** Rows whose graded form slices the corpus to a fixed-density
     * replica-0 cap ([[Replica0Cap]]/[[Replica0CapSmall]]/smaller):
     * at the ScaleUp decades these rows execute (and Bench TIMES) the
@@ -88,7 +99,13 @@ object QueryCatalog {
     // r17: one hashed row per 512 payload bytes + per-doc list()
     // vector rebuild — non-spillable, OOM'd at sf100r realistic (see
     // the qMediaFeatures scaladoc)
-    "q_media_features")
+    "q_media_features",
+    // r18 cap-audit catch: graded with fixed pivots on the vec_id <
+    // Replica0CapSmall slice since its cap landed (see the
+    // qSemanticDedup scaladoc) but never listed here — BENCH artifacts
+    // had been labeling it uncapped. CapAuditSpec now derives this set
+    // from the filter sites so the omission class can't recur.
+    "q_semantic_dedup")
 
   /** Cap/fixture routing for COMPOSED oracles rewrites every
     * base-table read of `documents`; a component SQL that writes the
@@ -3830,7 +3847,7 @@ object QueryCatalog {
     * real open-vocabulary corpus the output is sparse.
     */
   val qPrefixJaccard: Q = (s, dir) => {
-    val d = tbl(s, dir, "documents").filter(col("doc_id") < 500)
+    val d = tbl(s, dir, "documents").filter(col("doc_id") < Replica0CapTiny)
     Dedup
       .prefixJaccardPairs(d, "doc_id", "text", threshold = 0.8)
       .select(col("id_a"), col("id_b"), ratio6Col("inter", "union_").as("jaccard"))
@@ -3842,7 +3859,7 @@ object QueryCatalog {
             SELECT doc_id,
                    list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'),
                                              x -> x <> '')) AS s
-            FROM documents WHERE doc_id < 500),
+            FROM documents WHERE doc_id < $Replica0CapTiny),
           p AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    len(list_intersect(a.s, b.s)) AS i,
