@@ -9,6 +9,22 @@ class QueryCatalogSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query carries an oracle (rows-only grading needs an explicit exemption)") {
+    // The SparkEntry contract allows omitting oracleSql for
+    // non-SQL-expressible ops, but the driver then records only a
+    // weaker rows>0 check — a silent downgrade if the omission is an
+    // oversight rather than a decision (the cappedQueries-drift class,
+    // r18). Every catalog row is currently DuckDB-oracled; a genuinely
+    // non-expressible future query goes in this exemption set WITH its
+    // reason, so the downgrade is a reviewed decision.
+    val rowsOnlyExempt: Set[String] = Set.empty
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyExempt
+    assert(unoracled.isEmpty,
+      s"queries graded rows-only without an exemption entry: $unoracled")
+    val stale = rowsOnlyExempt & SparkEntry.oracleSql.keySet
+    assert(stale.isEmpty, s"exempted queries that now HAVE oracles: $stale")
+  }
+
   test("catalog names are unique and stable-format") {
     SparkEntry.queries.keys.foreach { k =>
       assert(k.matches("[a-z0-9_]+"), s"query name $k not snake_case")
