@@ -95,6 +95,48 @@ class RegexChainSpec extends SparkTestBase {
     }
   }
 
+  test("fast stages ≡ regex on deterministic fuzz incl. astral + lone surrogates") {
+    // The BMP is pinned exhaustively and the adversarial set pins the
+    // known edge shapes; this closes the remaining gap — arbitrary
+    // MIXTURES of BMP classes, supplementary code points (lazy memo
+    // path), and malformed UTF-16 (lone surrogates mid-string), where
+    // a code-unit-vs-code-point iteration bug would hide. Fixed-seed
+    // LCG, so the corpus is reproducible — a failure names its string.
+    var seed = 0x5DEECE66DL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val pools: Array[Int => Int] = Array(
+      _ => 'a' + nextInt(26),                    // ASCII letters
+      _ => nextInt(0x20),                        // control chars
+      _ => ' ',
+      _ => 0xAC00 + nextInt(11172),              // Hangul syllables
+      _ => 0x2000 + nextInt(0x100),              // punctuation/symbol block
+      _ => 0x1F600 + nextInt(80),                // emoji (SMP, surrogate pairs)
+      _ => 0x10000 + nextInt(0x1000),            // other supplementary
+      _ => 0xD800 + nextInt(0x800)               // raw surrogate code UNITS
+    )
+    val corpus = (0 until 600).map { _ =>
+      val len = nextInt(24)
+      val sb = new java.lang.StringBuilder
+      (0 until len).foreach { _ =>
+        val cp = pools(nextInt(pools.length))(0)
+        if (cp >= 0xD800 && cp < 0xE000) sb.append(cp.toChar) // keep lone units lone
+        else sb.appendCodePoint(cp)
+      }
+      sb.toString
+    }
+    TextCleaner.BatteryStages.foreach { case (p, r) =>
+      val stage = RegexChain.compileStage(p, r)
+      val pat = java.util.regex.Pattern.compile(p)
+      corpus.foreach { s =>
+        assert(stage(s) == pat.matcher(s).replaceAll(r),
+          s"stage '$p' diverges on ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+      }
+    }
+  }
+
   test("null input stays null; cleanText coalesces to empty string") {
     import spark.implicits._
     val df = Seq[Option[String]](None, Some("x")).toDF("text")
