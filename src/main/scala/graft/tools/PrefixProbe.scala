@@ -25,7 +25,10 @@ object PrefixProbe {
       r
     }
 
-    val d = spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 500)
+    // the same named cap as the graded q_prefix_jaccard slice — a
+    // retuned Replica0CapTiny must move the probe with it (r18 review)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < graft.queries.QueryCatalog.Replica0CapTiny)
     d.cache().count()
 
     // warm-up full run then attribute

@@ -201,7 +201,12 @@ class QueryCatalogSpec extends SparkTestBase {
       java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("src/main/scala/graft/queries/QueryCatalog.scala")),
       java.nio.charset.StandardCharsets.UTF_8)
-    assert(!src.contains("< 5000") && !src.contains("< 2000"),
-      "bare replica-0 cap literal in QueryCatalog.scala — use Replica0Cap/Replica0CapSmall")
+    // "< 500" also covers "< 5000", and guards the Replica0CapTiny
+    // value (r18 review): a reintroduced bare literal would evade
+    // CapAuditSpec's idiom scan, recreating the q_semantic_dedup
+    // labeling-drift class the named-constant family exists to prevent
+    assert(!src.contains("< 500") && !src.contains("< 2000"),
+      "bare replica-0 cap literal in QueryCatalog.scala — use " +
+        "Replica0Cap/Replica0CapSmall/Replica0CapTiny")
   }
 }
