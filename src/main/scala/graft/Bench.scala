@@ -62,6 +62,32 @@ object Bench {
     */
   val CalibrationIters: Long = 400_000_000L
 
+  /** Idle-host reference for the single-threaded calibration leg
+    * (BASELINE.md r16: settled artifacts ran 0.91–0.95 s on this host
+    * class; the contended runs that needed discarding started ≥1.1).
+    * Also the denominator reference for `total_norm_sec`.
+    */
+  val CalibrationBaselineSec: Double = 0.95
+
+  /** The idle BAND for both calibration legs, applied to all four
+    * measurements (single/parallel × start/end). Until r18 these bands
+    * lived only in BASELINE.md prose, so every artifact from a
+    * contended host needed a reader who knew them (VERDICT r18 #2 —
+    * the BENCH_r17/r18 driver tails were both flagged-by-band, visible
+    * only to band-literate readers). `settled` in the JSON is derived
+    * from these constants so each artifact labels itself.
+    *
+    * Single leg: idle runs measure 0.91–0.95 s; the lo guard (0.80)
+    * only exists to catch a mis-set CalibrationIters, not a host state.
+    * Parallel leg: idle all-core runs measure 1.03–1.17 s (SMT-expected
+    * par/single ≈ 1.1–1.25); contended runs that distorted totals
+    * carried 1.24–1.29+.
+    */
+  val CalSingleIdleLoSec: Double = 0.80
+  val CalSingleIdleHiSec: Double = 1.02
+  val CalParIdleLoSec: Double = 0.80
+  val CalParIdleHiSec: Double = 1.20
+
   /** Fixed-work single-threaded loop; returns (seconds, checksum). The
     * checksum is folded into the JSON (as a comment-grade field) so the
     * JIT cannot dead-code the loop.
@@ -323,7 +349,21 @@ object Bench {
     val capped = results.keysIterator
       .filter(graft.queries.QueryCatalog.cappedQueries)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"capped_queries":$capped,"telemetry":$telemetry,"sf":"$sfDir"}""")
+    // Self-labeling (VERDICT r18 #2): `settled` = all four calibration
+    // legs inside the pinned idle bands — an artifact from a contended
+    // host says so itself instead of requiring a band-literate reader;
+    // `total_norm_sec` = total ÷ (mean single-leg calibration /
+    // CalibrationBaselineSec), the BASELINE.md normalization formula,
+    // so round-over-round ledger rows compare without prose caveats.
+    // Normalization is by the SINGLE leg only: the parallel leg
+    // detects machine-wide contention but its distortion of a 32-way
+    // workload is not a clean multiplier.
+    val settled =
+      Seq(calStart, calEnd).forall(c => c >= CalSingleIdleLoSec && c <= CalSingleIdleHiSec) &&
+        Seq(calParStart, calParEnd).forall(c => c >= CalParIdleLoSec && c <= CalParIdleHiSec)
+    val singleMean = (calStart + calEnd) / 2
+    val totalNorm = if (singleMean > 0) total / (singleMean / CalibrationBaselineSec) else total
+    println(s"""{"metric":"total","value":$total,"unit":"sec","settled":$settled,"total_norm_sec":${r4(totalNorm)},"queries":$qs,"errors":$errs,"capped_queries":$capped,"telemetry":$telemetry,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

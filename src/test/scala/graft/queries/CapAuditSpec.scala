@@ -58,11 +58,18 @@ class CapAuditSpec extends AnyFunSuite {
     // top-level Q-val blocks; a block's scaladoc belongs to the
     // FOLLOWING val, so comment lines are stripped before matching —
     // without this, a capped query's doc comment classifies its
-    // PREDECESSOR (the q_ivf_rewrite false positive the prototype hit)
+    // PREDECESSOR (the q_ivf_rewrite false positive the prototype hit).
+    // A block ends at the next top-level declaration of ANY kind
+    // (ADVICE r18): ending only at the next `: Q =` head would
+    // attribute an interleaved helper (a *Sql string val, a private
+    // def) to the preceding Q block, so a cap idiom in such a helper
+    // would classify the wrong query as capped.
+    val anyVal = raw"(?m)^  (?:private )?(?:lazy )?(?:val|def|var|object) [A-Za-z0-9_]+".r
+      .findAllMatchIn(src).map(_.start).toVector
     val heads = raw"(?m)^  val (q[A-Za-z0-9]+): Q =".r.findAllMatchIn(src).toSeq
     assert(heads.size >= 100, s"found only ${heads.size} Q blocks — scan broke")
-    val derived = heads.zipWithIndex.flatMap { case (m, i) =>
-      val end = if (i + 1 < heads.size) heads(i + 1).start else src.length
+    val derived = heads.flatMap { m =>
+      val end = anyVal.find(_ > m.start).getOrElse(src.length)
       val code = src.substring(m.start, end).linesIterator
         .filterNot { l =>
           val t = l.trim
@@ -70,10 +77,23 @@ class CapAuditSpec extends AnyFunSuite {
         }
         // also drop trailing `// …` tails so an inline comment
         // MENTIONING a cap idiom can't classify its code line (r18
-        // review). No Q-block code line carries "//" inside a string
-        // literal (DuckDB's `//` division lives in the *Sql vals,
-        // which are not Q blocks), so a plain split is safe here.
-        .map(l => l.split("//", 2)(0))
+        // review). The split assumes no Q-block code line carries "//"
+        // INSIDE a string literal — asserted loudly (ADVICE r18)
+        // rather than relied on: an odd count of unescaped quotes
+        // before the "//" means the split point sat inside an open
+        // literal and real code would be truncated from the scan.
+        .map { l =>
+          val idx = l.indexOf("//")
+          if (idx < 0) l
+          else {
+            val prefix = l.substring(0, idx)
+            val unescapedQuotes = raw"""(?<!\\)"""".r.findAllIn(prefix).size
+            assert(unescapedQuotes % 2 == 0,
+              s"Q-block line carries // inside a string literal — the comment-strip " +
+                s"would truncate real code before the cap scan: $l")
+            prefix
+          }
+        }
       if (code.exists(l => capIdiom.findFirstIn(l).isDefined)) {
         val q = reg.get(m.group(1))
         assert(q.isDefined, s"capped val ${m.group(1)} is not in the queries map")
