@@ -96,9 +96,17 @@ private[dedup] trait DecontamOps extends Serializable { this: TextNormalization 
     val spark = corpus.sparkSession
     val b = benchmark.select(col(idCol).as("bench_id"), distinctShingles(col(textCol), n).as("gs"))
     val bEx = b.select(col("bench_id"), explode(col("gs")).as("g"))
+    // persisted across the TWO eager jobs that consume it (r19): the
+    // sizing count and the bloom-build treeAggregate each re-executed
+    // the scan→shingle-UDF→distinct subtree (two of the row's three
+    // heaviest stages at sf0.1). The cache is benchmark-gram-scale —
+    // the side this route assumes small enough to bloom — and released
+    // before the returned plan so no session-lifetime pin accumulates.
     val bGrams = bEx.select("g").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nGrams = math.max(1L, bGrams.count())
     val bloom = bGrams.stat.bloomFilter("g", nGrams, fpp)
+    bGrams.unpersist(blocking = false)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val bSizes = b.select(col("bench_id"), size(col("gs")).as("bench_sz"))
     val cEx = corpus

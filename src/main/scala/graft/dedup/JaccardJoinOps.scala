@@ -129,7 +129,7 @@ private[dedup] trait JaccardJoinOps extends Serializable { this: TextNormalizati
 
     val a = prefix.select(col("token"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = prefix.select(col("token"), col("id").as("id_b"), col("sz").as("sz_b"))
-    val candidates = a
+    val candidatesRaw = a
       .join(maybeBroadcast(b), Seq("token"))
       .filter(col("id_a") < col("id_b"))
       .filter(
@@ -137,7 +137,24 @@ private[dedup] trait JaccardJoinOps extends Serializable { this: TextNormalizati
           col("sz_b").cast("double") >= lit(threshold) * col("sz_a")
       )
       .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    // Small-path parallelism pin (r19): the candidate pairs are a few
+    // hundred KB, so AQE coalesces the dropDuplicates exchange to ONE
+    // post-shuffle partition — and with the verify joins broadcast,
+    // every array_intersect of the saturated pair set then runs in one
+    // task (profiled ~1.2 s single-task on the graded slice). An
+    // explicit numbered repartition on the SAME keys is the one
+    // exchange dropDuplicates needs anyway (the distinct aggregate
+    // reuses the partitioning), but its user-pinned partition count is
+    // exempt from AQE coalescing, so the CPU-dense verify keeps
+    // core-count parallelism. Big slices keep AQE sizing: their
+    // candidate volume is large enough that coalescing targets are
+    // already right, and they want skew handling.
+    val candidates =
+      (if (small)
+         candidatesRaw.repartition(
+           df.sparkSession.sparkContext.defaultParallelism, col("id_a"), col("id_b"))
+       else candidatesRaw)
+        .dropDuplicates("id_a", "id_b")
 
     val sets = docTokens.select(col("id"), col("sorted_toks"))
     candidates

@@ -42,6 +42,45 @@ private[dedup] trait TextNormalization extends Serializable {
     f.asNondeterministic()(textCol)
   }
 
+  /** Positional word n-grams over a PRE-TOKENIZED array in one fused
+    * pass (UDF): array<struct<_1:int,_2:string>> — (1-based start,
+    * gram) per window position, gram = the n tokens joined with one
+    * space, bit-identical to the transform(sequence…)+slice+concat_ws
+    * chain it replaces. That chain is a higher-order function —
+    * evaluated INTERPRETED, outside whole-stage codegen, with a
+    * per-position array slice + per-element dispatch — and profiled at
+    * ~80 µs/gram in q_scrub_spans at sf0.1 (19 s of the row's 22 s
+    * CPU; the same lesson [[distinctShingles]] already encodes for the
+    * index-side helper). Fewer than n tokens → empty (callers gate on
+    * size >= n anyway). Marked nondeterministic so the optimizer never
+    * duplicates it into inferred filters under the explode above it.
+    */
+  def positionalGrams(toksCol: Column, n: Int): Column = {
+    val f = udf { (toks: Seq[String]) =>
+      val m = toks.length - n + 1
+      if (m <= 0) Array.empty[(Int, String)]
+      else {
+        // IndexedSeq access is O(1); the builder reuses one buffer
+        val out = new Array[(Int, String)](m)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = i
+          while (j < i + n) {
+            if (j > i) sb.append(' ')
+            sb.append(toks(j))
+            j += 1
+          }
+          out(i) = (i + 1, sb.toString)
+          i += 1
+        }
+        out
+      }
+    }
+    f.asNondeterministic()(toksCol)
+  }
+
   /** Tokenize + shingle, as a plain Scala function shared by the
     * signature builder, the candidate verifier, and the index-side
     * [[distinctShingles]] so all see the exact same shingle universe.

@@ -3155,7 +3155,14 @@ object QueryCatalog {
     // round-13).
     val ev = eventsRaw(s, dir).select("event_id").filter(col("event_id") < 100000L)
     val base = math.max(1L, ev.count() / 10L)
-    val docs = ev.select(
+    // rebalanced BEFORE the signature UDF: the single-row-group local
+    // events table otherwise funnels the MinHash signature compute AND
+    // the 8-band × 32-long signature explode (the row's largest shuffle
+    // write) through one task (r19 profile: 1.15 s single-task map
+    // stage ahead of a 0.26 s 32-task stateful stage). The shuffle this
+    // adds moves only the 8-byte event ids — the md5 text and the
+    // signatures are built after the exchange.
+    val docs = rebalanced(ev).select(
       col("event_id").as("doc_id"),
       md5(pmod(col("event_id"), lit(base)).cast("string")).as("text"))
     graft.streaming.StreamingNearDup
@@ -3788,25 +3795,58 @@ object QueryCatalog {
     */
   val qApproxQuantile: Q = (s, dir) => {
     val l = tbl(s, dir, "lineitem")
-    // exact + sketch in ONE aggregation pass — approx_percentile is
-    // the same GK sketch as DataFrameStatFunctions.approxQuantile but
-    // composes into the agg, so the comparison costs one scan. ONE
-    // exact percentile, not two (VERDICT r17 #3: the r17 midpoint
-    // closure added a second exact pass over doubles and doubled the
-    // row's cost): l_extendedprice carries exactly two decimals by
-    // TPC-H construction, so the cents column is an exact rescaling
-    // and percentile(l_extendedprice) == percentile(cents)/100 up to
-    // one double ulp of the linear interpolation — noise four orders
-    // of magnitude inside the 1% sketch gate below, so the sketch is
+    // l_extendedprice carries exactly two decimals by TPC-H
+    // construction, so the cents column is an exact rescaling and
+    // percentile(l_extendedprice) == percentile(cents)/100 up to one
+    // double ulp of the linear interpolation — noise four orders of
+    // magnitude inside the 1% sketch gate below, so the sketch is
     // graded against the same exact pass the p50/p95 outputs use.
-    val row = l
+    //
+    // r19 shape: the exact percentile is NOT computed with the
+    // `percentile` aggregate any more — that aggregate's final merge
+    // is one reduce task inserting every partial OpenHashMap into a
+    // boxed map and sorting ~583k distinct keys (profiled 1.2 s
+    // single-task, the row's floor). The replay below is the same
+    // computation restructured for parallelism (guide §2): a
+    // map-side-combinable cents histogram (32 tasks), a cumulative-sum
+    // window over the DISTINCT keys (one narrow-row sorted pass), and
+    // a min(when(cum >= rank)) bracket lookup, interpolated with the
+    // EXACT formula of catalyst's PercentileBase.getPercentile
+    // ((higher−pos)·lowerKey + (pos−lower)·higherKey after
+    // pos = p·(N−1); decompiled from spark-catalyst 4.1.2, and
+    // bit-equality against the percentile() aggregate is pinned by
+    // ApproxQuantileParitySpec on adversarial count/tie shapes).
+    // The GK sketch rides a crossJoin of the two 1-row aggregates so
+    // both subtrees execute inside ONE action. rebalanced: the 3-row-
+    // group local file otherwise caps every partial-agg at 3 tasks.
+    val n = l.count() // column-pruned metadata count (the N of pos = p·(N−1))
+    val price = rebalanced(l.select(col("l_extendedprice")))
       .withColumn("cents", round(col("l_extendedprice") * lit(100)).cast("long"))
-      .agg(
-        expr("percentile(cents, array(0.5D, 0.95D))").as("exc"),
-        expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("ap"))
-      .head()
-    val exCents = row.getSeq[Double](0)
-    val approx = row.getSeq[Double](1)
+    val pcts = Seq(0.5, 0.95)
+    val pos = pcts.map(p => p * (n - 1))
+    // cum targets: value at 0-based rank r = first key with cum ≥ r+1
+    val ranks = pos.flatMap(q => Seq(math.floor(q).toLong + 1, math.ceil(q).toLong + 1))
+    val wcum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = price.groupBy("cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+    val bracketCols = ranks.zipWithIndex.map { case (k, i) =>
+      min(when(col("cum") >= k, col("cents"))).as(s"k$i")
+    }
+    val brackets = cum.agg(bracketCols.head, bracketCols.tail: _*)
+    val approxAgg = price.agg(
+      expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("ap"))
+    val row = brackets.crossJoin(approxAgg).head()
+    def interp(qpos: Double, lowerKey: Long, higherKey: Long): Double = {
+      val lower = math.floor(qpos).toLong
+      val higher = math.ceil(qpos).toLong
+      if (higher == lower || higherKey == lowerKey) lowerKey.toDouble
+      else (higher - qpos) * lowerKey.toDouble + (qpos - lower) * higherKey.toDouble
+    }
+    val exCents = Seq(
+      interp(pos(0), row.getLong(0), row.getLong(1)),
+      interp(pos(1), row.getLong(2), row.getLong(3)))
+    val approx = row.getSeq[Double](4)
     val ok = approx.zip(exCents).forall { case (a, ec) =>
       val e = ec / 100.0
       math.abs(a - e) / e <= 0.01
@@ -3848,10 +3888,15 @@ object QueryCatalog {
     */
   val qPrefixJaccard: Q = (s, dir) => {
     val d = tbl(s, dir, "documents").filter(col("doc_id") < Replica0CapTiny)
+    // No trailing orderBy (r19): the driver sorts rows before hashing
+    // (same contract every full-output row relies on), and the range
+    // partitioner's bounds-sampling pass was EXECUTING the verify-join
+    // subtree a second time — the r19 profile showed two back-to-back
+    // ~1 s single-task verify stages for one query. Output row set is
+    // unchanged; the oracle's ORDER BY only canonicalizes its side.
     Dedup
       .prefixJaccardPairs(d, "doc_id", "text", threshold = 0.8)
       .select(col("id_a"), col("id_b"), ratio6Col("inter", "union_").as("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   val qPrefixJaccardSql: String =

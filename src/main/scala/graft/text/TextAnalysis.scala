@@ -354,13 +354,24 @@ object TextAnalysis {
     val cu = toks.groupBy("w").agg(count(lit(1)).as("cu")).cache()
     val nTok = cu.agg(coalesce(sum(col("cu")), lit(0L))).head().getLong(0)
     val hm = if (hotMin > 0) hotMin else graft.tune.AdaptiveKnobs.hotMin()(nTok)
+    // fused-UDF bigram pairing (r19): the transform(sequence…) +
+    // element_at + struct HOF chain this replaces is evaluated
+    // interpreted (HOFs never enter whole-stage codegen) and this
+    // subtree executes once per consumer (the cb aggregate and both
+    // routes of the frequency-partitioned join), so its per-pass cost
+    // multiplies — profiled as two ~6.4 s CPU stages of
+    // q_bigram_logprob's 17.8 s at sf0.1. Pair values are the same
+    // adjacent-token strings; nondeterministic so the optimizer never
+    // clones it into inferred filters under the explode.
+    val bigramPairs = udf { (a: Seq[String]) =>
+      val m = a.length - 1
+      if (m <= 0) Array.empty[(String, String)]
+      else Array.tabulate(m)(i => (a(i), a(i + 1)))
+    }.asNondeterministic()
     val bigrams = arr
       .filter(size(col("a")) >= 2)
-      .select(
-        col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("a")) - 1),
-          i => struct(element_at(col("a"), i).as("v"), element_at(col("a"), i + 1).as("w")))).as("bg"))
-      .select(col("doc_id"), col("bg.v").as("v"), col("bg.w").as("w"))
+      .select(col("doc_id"), explode(bigramPairs(col("a"))).as("bg"))
+      .select(col("doc_id"), col("bg._1").as("v"), col("bg._2").as("w"))
     val cb = bigrams.groupBy("v", "w").agg(count(lit(1)).as("cb"))
     val cp = cb.groupBy("v").agg(sum(col("cb")).as("cp"))
     // type-level enrichment: vocab-scale joins between count tables
