@@ -3014,10 +3014,15 @@ object QueryCatalog {
         HwpPayloads.buildHwpxZip(Seq(s0, s1), meta)
       }
     }
+    // nondeterministic (r19): the isNotNull filter otherwise gets
+    // inferred below the projection AND below the rebalance exchange —
+    // every container was built+parsed twice, the first time in ONE
+    // task (plan-verified; the hwp twin profiled an 812 ms single-task
+    // filter stage ahead of the 32-task projection).
     val parse = udf { (bytes: Array[Byte]) =>
       val d = HwpLoader.extractHwpx(bytes)
       if (d.text == null) null else (d.text, d.title, d.author)
-    }
+    }.asNondeterministic()
     rebalanced(tbl(s, dir, "documents").select(col("doc_id")))
       .withColumn("p", parse(gen(col("doc_id"))))
       .filter(col("p").isNotNull)
@@ -3071,10 +3076,13 @@ object QueryCatalog {
           title = s"제목 $id",
           author = s"필자 ${id % 5}")
     }
+    // nondeterministic (r19): see qHwpxExtract — stops the inferred
+    // isNotNull filter from re-evaluating build+parse below the
+    // rebalance exchange (812 ms single-task stage, plan-verified).
     val parse = udf { (bytes: Array[Byte]) =>
       val d = HwpLoader.extractHwpDoc(bytes)
       if (d._1 == null) null else (d._1, d._2, d._3)
-    }
+    }.asNondeterministic()
     rebalanced(tbl(s, dir, "documents").select(col("doc_id")))
       .withColumn("p", parse(gen(col("doc_id"))))
       .filter(col("p").isNotNull)
@@ -3230,7 +3238,15 @@ object QueryCatalog {
     val chunks = Chunker.explodeChunks(docs, "text", "source")
     val deduped = Dedup.exactDedup(chunks, "text", Seq("doc_id", "chunk_index"))
     val embedder = new HashEmbedder(dim = 64)
-    val embedded = Embedders.withEmbedding(deduped, "text", "embedding", embedder)
+    // rebalanced (r19): the dedup exchange is ~1.5 MB here, so AQE
+    // coalesces its read to ONE post-shuffle partition — and the
+    // trigram embedding + cosine scoring of every surviving chunk then
+    // ran single-task (437 ms profiled). The numbered repartition pays
+    // one tiny exchange for core-count parallelism on the CPU-dense
+    // embed stage; at corpus scale the dedup output is large enough
+    // that AQE sizing already yields parallel reads and the extra
+    // exchange stays proportionally negligible.
+    val embedded = Embedders.withEmbedding(rebalanced(deduped), "text", "embedding", embedder)
     val qv = embedder.embed("spark join order table")
     embedded
       .withColumn("score", round(cosineSimilarity(col("embedding"), typedLit(qv.toSeq)), 4))

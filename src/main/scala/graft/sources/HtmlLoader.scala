@@ -89,6 +89,10 @@ object HtmlLoader {
     (text, st.title, st.headings.map(h => (h.level, h.text)), st.lists, st.tables, st.paragraphs)
   }
 
+  // nondeterministic (r19): the O9 isNotNull filter above otherwise
+  // duplicates the whole HTML parse into a pushed-down predicate —
+  // every kept row paid the parse twice (plan-verified, ~2x the
+  // q_html_load scan-stage CPU).
   private val parseUdf = udf { (bytes: Array[Byte]) =>
     // O9 error isolation: any parse failure → null, filtered downstream
     try {
@@ -100,7 +104,7 @@ object HtmlLoader {
         (text, st.title, st.headings.map(h => (h.level, h.text)), st.lists, st.tables, st.paragraphs)
       }
     } catch { case _: Throwable => null }
-  }
+  }.asNondeterministic()
 
   /** S1+S2+S3 — load a directory of HTML/JSP files into the document
     * schema (FIXTURES.md §1): text cleaned by the full battery,

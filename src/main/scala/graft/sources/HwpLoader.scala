@@ -135,10 +135,13 @@ object HwpLoader {
     )
   }
 
+  // nondeterministic (r19, guide-on-UDF-duplication): the isNotNull
+  // filter above this UDF otherwise gets pushed/copied below the
+  // projection and the CFB parse runs TWICE per row (plan-verified).
   private val hwpUdf = udf { (bytes: Array[Byte]) =>
     val d = extractHwpDoc(bytes)
     if (d._1 == null) null else d
-  }
+  }.asNondeterministic()
 
   /** Load a directory of binary .hwp (CFB) files into the document
     * schema with HWP-strict cleaning.
@@ -218,10 +221,11 @@ object HwpLoader {
       .findFirstMatchIn(xml)
       .map(_.group(1).trim)
 
+  // nondeterministic (r19): same duplicate-evaluation guard as hwpUdf
   private val hwpxUdf = udf { (bytes: Array[Byte]) =>
     val d = extractHwpx(bytes)
     if (d.text == null) null else (d.text, d.title, d.author)
-  }
+  }.asNondeterministic()
 
   /** Load a directory of .hwpx files into the document schema with the
     * reference's HWP-strict cleaning (C12) and metadata
