@@ -206,21 +206,129 @@ private[dedup] trait EmbedNearDupOps extends Serializable {
     verifiedPairsWithinBuckets(t, cosineThreshold)
   }
 
-  /** Exact all-pairs cosine ≥ threshold — NO blocking, every pair
-    * compared. Quadratic by construction: this is the ground-truth
-    * oracle for recall grading over a BOUNDED slice (thousands of
-    * rows), not a corpus operator. Runs as one grouped primitive loop
-    * so even the 8M-pair graded slice costs well under a second.
+  /** Cross-block twin of [[bucketPairLoop]]: every (A-vector,
+    * B-vector) pair, the SAME norm/dot/threshold arithmetic term for
+    * term — the dot accumulates over dimensions in the same order and
+    * each per-dimension multiply commutes, so a pair's cosine is
+    * bit-identical no matter which side of a block split each vector
+    * landed on (pinned by DedupSpec's blocked-vs-naive equality).
+    */
+  private def crossPairLoop(
+      vecsA: Array[Array[Double]],
+      vecsB: Array[Array[Double]],
+      threshold: Double
+  ): Seq[(Int, Int, Double)] = {
+    def norms(vecs: Array[Array[Double]]): Array[Double] = {
+      val out = new Array[Double](vecs.length)
+      var i = 0
+      while (i < vecs.length) {
+        val v = vecs(i)
+        var s = 0.0
+        var d = 0
+        while (d < v.length) { s += v(d) * v(d); d += 1 }
+        out(i) = math.sqrt(s)
+        i += 1
+      }
+      out
+    }
+    val na = norms(vecsA)
+    val nb = norms(vecsB)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    val T = PairTileRows
+    var ti = 0
+    while (ti < vecsA.length) {
+      val tiEnd = math.min(ti + T, vecsA.length)
+      var tj = 0
+      while (tj < vecsB.length) {
+        val tjEnd = math.min(tj + T, vecsB.length)
+        var i = ti
+        while (i < tiEnd) {
+          val a = vecsA(i)
+          val n1 = na(i)
+          var j = tj
+          while (j < tjEnd) {
+            val denom = n1 * nb(j)
+            val b = vecsB(j)
+            if (denom != 0.0 && a.length == b.length) {
+              var s = 0.0
+              var d = 0
+              while (d < a.length) { s += a(d) * b(d); d += 1 }
+              val c = s / denom
+              if (c >= threshold) out += ((i, j, c))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        tj += T
+      }
+      ti += T
+    }
+    out.toSeq
+  }
+
+  /** Block count for [[bruteForceCosinePairs]]: B id-hash blocks turn
+    * the one monolithic all-pairs loop into B within-block loops plus
+    * B·(B−1)/2 cross-block loops (36 near-even tasks at 8) — the r19
+    * profile had the whole 8M-pair graded loop on ONE task for 350 ms
+    * while 31 cores idled. Work is identical (every unordered pair
+    * exactly once, same loops), only split.
+    */
+  private val BruteForceBlocks = 8
+
+  /** Exact all-pairs cosine ≥ threshold — every pair compared.
+    * Quadratic by construction: this is the ground-truth oracle for
+    * recall grading over a BOUNDED slice (thousands of rows), not a
+    * corpus operator. Since r19 the loop is BLOCKED for parallelism
+    * ([[BruteForceBlocks]] id-hash blocks; within-block pairs through
+    * [[bucketPairLoop]], cross-block through [[crossPairLoop]] — same
+    * arithmetic, bit-identical cosines, each unordered pair exactly
+    * once). The block join broadcasts the slice B ways — acceptable
+    * only because this is the bounded-slice reference tool.
     */
   def bruteForceCosinePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       cosineThreshold: Double
-  ): DataFrame =
-    verifiedPairsWithinBuckets(
-      df.select(col(idCol).as("id"), col(vecCol).as("v")).withColumn("bkt", lit(0L)),
-      cosineThreshold)
+  ): DataFrame = {
+    val nBlocks = BruteForceBlocks
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val t = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bkt", pmod(xxhash64(col("id")), lit(nBlocks.toLong)))
+    val blocks = t.groupBy("bkt")
+      .agg(collect_list(col("id")).as("ids"), collect_list(col("v")).as("vs"))
+      // numbered repartition: B rows are far under AQE's size targets,
+      // so without the pin every block's loop lands on one task
+      .repartition(math.min(par, nBlocks), col("bkt"))
+    val withinUdf = udf { (vs: Array[Array[Double]]) => bucketPairLoop(vs, cosineThreshold) }
+    val crossUdf = udf { (vsA: Array[Array[Double]], vsB: Array[Array[Double]]) =>
+      crossPairLoop(vsA, vsB, cosineThreshold)
+    }
+    val within = blocks
+      .select(col("ids"), explode(withinUdf(col("vs"))).as("p"))
+      .select(
+        element_at(col("ids"), col("p._1") + 1).as("ua"),
+        element_at(col("ids"), col("p._2") + 1).as("ub"),
+        col("p._3").as("cosine"))
+    val cross = blocks
+      .select(col("bkt").as("ba"), col("ids").as("idsA"), col("vs").as("vsA"))
+      .join(
+        broadcast(blocks.select(col("bkt").as("bb"), col("ids").as("idsB"), col("vs").as("vsB"))),
+        col("ba") < col("bb"))
+      .repartition(par, col("ba"), col("bb"))
+      .select(col("idsA"), col("idsB"), explode(crossUdf(col("vsA"), col("vsB"))).as("p"))
+      .select(
+        element_at(col("idsA"), col("p._1") + 1).as("ua"),
+        element_at(col("idsB"), col("p._2") + 1).as("ub"),
+        col("p._3").as("cosine"))
+    within.unionByName(cross)
+      .filter(col("ua") =!= col("ub"))
+      .select(
+        when(col("ua") < col("ub"), col("ua")).otherwise(col("ub")).as("id_a"),
+        when(col("ua") < col("ub"), col("ub")).otherwise(col("ua")).as("id_b"),
+        col("cosine"))
+  }
 
   /** Banded (multi-probe) sign-bit LSH near-dup pairs: `bands` bands of
     * `bitsPerBand` component signs each (band b keys on components

@@ -3339,7 +3339,9 @@ object QueryCatalog {
     * score bit-for-bit (see KeywordSearch scaladoc).
     */
   val qBm25TopK: Q = (s, dir) =>
-    KeywordSearch.bm25TopK(tbl(s, dir, "documents"), Bm25Terms, 10, rationalIdf = true)
+    // rebalanced (r19): the single-row-group local file ran the whole
+    // per-doc tokenize+score in one task
+    KeywordSearch.bm25TopK(rebalanced(tbl(s, dir, "documents")), Bm25Terms, 10, rationalIdf = true)
 
   /** The BM25 oracle CTE chain (toks/base/st/ks over `documents` for
     * the Bm25Terms query), shared VERBATIM by qBm25TopKSql and
@@ -3401,7 +3403,8 @@ object QueryCatalog {
     val vecRank = HybridSearch
       .withRank(vecTop, Seq(desc("score"), col("doc_id")))
       .select("doc_id", "rank")
-    val kwTop = KeywordSearch.bm25TopK(tbl(s, dir, "documents"), Bm25Terms, 20, rationalIdf = true)
+    // rebalanced (r19): same single-task-scan fix as q_bm25_topk
+    val kwTop = KeywordSearch.bm25TopK(rebalanced(tbl(s, dir, "documents")), Bm25Terms, 20, rationalIdf = true)
     val kwRank = HybridSearch
       .withRank(kwTop, Seq(desc("score"), col("doc_id")))
       .select("doc_id", "rank")
@@ -3836,6 +3839,13 @@ object QueryCatalog {
     // both subtrees execute inside ONE action. rebalanced: the 3-row-
     // group local file otherwise caps every partial-agg at 3 tasks.
     val n = l.count() // column-pruned metadata count (the N of pos = p·(N−1))
+    // round-robin rebalance, deliberately NOT a cents-keyed repartition
+    // (r19b A/B): keying would let the histogram's groupBy reuse the
+    // partitioning, but column pruning then specializes the two
+    // branches' projections (cents-only vs price+cents), the exchanges
+    // stop being identical subtrees, and BOTH branches re-scan the
+    // file — measured as two instance-scale exchanges (3.3 + 8.1 MB)
+    // instead of this one shared 4.8 MB exchange.
     val price = rebalanced(l.select(col("l_extendedprice")))
       .withColumn("cents", round(col("l_extendedprice") * lit(100)).cast("long"))
     val pcts = Seq(0.5, 0.95)

@@ -597,6 +597,43 @@ class DedupSpec extends SparkTestBase {
     assert(want.nonEmpty && got == want, s"got ${got.size} want ${want.size}")
   }
 
+  test("blocked brute force: every unordered pair exactly once, cosines bit-equal to a naive loop") {
+    import spark.implicits._
+    // r19 blocked the all-pairs loop (8 id-hash blocks, within + cross
+    // loops). Pin: pair MULTISET identical to an independent O(n²)
+    // reference AND cosine doubles bit-identical to the same
+    // dims-ordered dot/norm arithmetic — including a zero vector
+    // (denom guard) and ids adversarially spread across blocks.
+    val dim = 8
+    val vecs = (0 until 257).map { i =>
+      val v =
+        if (i == 13) Array.fill(dim)(0.0) // zero vector: no pairs
+        else Array.tabulate(dim)(j => math.sin(i * 17 + j * 5) + 1.2)
+      (i.toLong, v)
+    }
+    val got = Dedup.bruteForceCosinePairs(vecs.toDF("id", "vec"), "id", "vec", 0.95)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).distinct.length == got.length, "duplicate pair emitted")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < dim) { dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib
+      c = cos(va, vb)
+      if math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum) != 0.0 && c >= 0.95
+    } yield ((ia, ib), c)).sortBy(_._1)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq, s"pair sets differ: got ${got.length} want ${want.length}")
+    got.zip(want).foreach { case (((ga, gb), gc), (_, wc)) =>
+      assert(java.lang.Double.doubleToRawLongBits(gc) == java.lang.Double.doubleToRawLongBits(wc),
+        s"cosine bits differ for ($ga,$gb): $gc vs $wc")
+    }
+  }
+
   test("scrubDuplicateSpans removes duplicated 8-gram cover from every copy, keeps order") {
     import spark.implicits._
     val boiler = "all rights reserved contact us terms of service" // 8 tokens
